@@ -1,0 +1,142 @@
+"""Synthetic sparse-event generator — the test/smoke data source the
+reference never shipped (trainercore.py:11 mentions synthetic IO but the
+path is dead; SURVEY.md §4).
+
+Events mimic LArTPC topology: a handful of straight tracks ("particles")
+radiating from a vertex, voxelized onto the detector grid, with per-voxel
+energy depositions.  Labels for the four classification heads
+(supervised_eventID.py:224-229) are derived from the generated particle
+content so that a model CAN learn them — loss should decrease on this data.
+
+Emits larcv-compatible padded arrays: coords [B, MaxVoxels, D] with -999
+fill + values, exactly the contract of BatchFillerSparseTensor
+(/root/reference/src/io/data_transforms.py:6-17).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..config.schema import OUTPUT_SHAPE
+
+
+@dataclasses.dataclass
+class SyntheticEventConfig:
+    image_size: Tuple[int, ...] = (64, 64, 64)
+    max_voxels: int = 2048
+    mean_tracks: float = 3.0
+    steps_per_track: int = 200
+    normalize: bool = True  # larcv Normalize: Mean=1.0 Std=0.5 (larcv_fetcher.py:100-108)
+
+
+def generate_event(
+    rng: np.random.Generator, cfg: SyntheticEventConfig
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, int]]:
+    """One event -> (coords i32[<=max_voxels, D], values f32[n], labels)."""
+    dims = np.array(cfg.image_size, dtype=np.float64)
+    d = len(dims)
+    vertex = rng.uniform(0.25, 0.75, size=d) * dims
+
+    # particle content drives the labels
+    neut_class = int(rng.integers(0, 3))  # neutrino flavor: 3 classes
+    n_protons = min(int(rng.poisson(0.8)), 2)  # 0, 1, 2+ -> 3 classes
+    n_cpi = int(rng.random() < 0.3)  # charged pion present: 2 classes
+    n_npi = int(rng.random() < 0.25)  # neutral pion present: 2 classes
+
+    # track multiplicity/energy depends on the class content so labels are
+    # learnable from topology
+    n_tracks = 1 + neut_class + n_protons + n_cpi + 2 * n_npi
+    pts = []
+    vals = []
+    for t in range(n_tracks):
+        direction = rng.normal(size=d)
+        direction /= np.linalg.norm(direction) + 1e-9
+        length = rng.uniform(0.1, 0.45) * dims.min()
+        steps = np.linspace(0, length, cfg.steps_per_track)
+        track = vertex[None, :] + steps[:, None] * direction[None, :]
+        track += rng.normal(scale=0.5, size=track.shape)  # diffusion
+        dedx = rng.uniform(0.5, 2.0) * (1.0 + 0.5 * n_protons)
+        pts.append(track)
+        vals.append(np.full(len(track), dedx) * rng.uniform(0.7, 1.3, len(track)))
+    pts = np.concatenate(pts)
+    vals = np.concatenate(vals)
+
+    ok = np.all((pts >= 0) & (pts < dims[None, :]), axis=1)
+    coords = np.floor(pts[ok]).astype(np.int32)
+    vals = vals[ok].astype(np.float32)
+
+    # dedup voxels, summing deposition (what TensorFromCluster3D does)
+    if len(coords):
+        lin = coords[:, 0].astype(np.int64)
+        for k in range(1, d):
+            lin = lin * int(dims[k]) + coords[:, k]
+        uniq, inv = np.unique(lin, return_inverse=True)
+        summed = np.zeros(len(uniq), np.float32)
+        np.add.at(summed, inv, vals)
+        first = np.zeros(len(uniq), np.int64)
+        first[inv[::-1]] = np.arange(len(coords))[::-1]
+        coords = coords[first]
+        vals = summed
+
+    if cfg.normalize and len(vals):
+        # larcv Normalize process: shift/scale to Mean=1.0 Std=0.5
+        mu, sd = vals.mean(), vals.std() + 1e-6
+        vals = (vals - mu) / sd * 0.5 + 1.0
+
+    if len(coords) > cfg.max_voxels:  # larcv truncates at MaxVoxels
+        keep = np.argsort(vals)[::-1][: cfg.max_voxels]
+        coords, vals = coords[keep], vals[keep]
+
+    labels = {
+        "labelneutID": neut_class,
+        "labelprotID": min(n_protons, 2),
+        "labelcpiID": n_cpi,
+        "labelnpiID": n_npi,
+    }
+    return coords, vals, labels
+
+
+class SyntheticDataset:
+    """Finite, indexable synthetic dataset with the larcv_dataset interface
+    surface (image_size / __len__ / batch iteration)."""
+
+    def __init__(
+        self,
+        n_events: int,
+        cfg: SyntheticEventConfig | None = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg or SyntheticEventConfig()
+        self.n_events = n_events
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n_events
+
+    def image_size(self) -> Tuple[int, ...]:
+        return tuple(self.cfg.image_size)
+
+    def event(self, index: int):
+        rng = np.random.default_rng((self.seed, index % self.n_events))
+        return generate_event(rng, self.cfg)
+
+    def batch(self, indices) -> Dict[str, np.ndarray]:
+        """Padded larcv-style batch dict: image [B, MaxVoxels, D+1] with -999
+        fill (coords..., value) + int label arrays."""
+        b = len(indices)
+        d = len(self.cfg.image_size)
+        image = np.full((b, self.cfg.max_voxels, d + 1), -999.0, np.float32)
+        labels = {k: np.zeros(b, np.int32) for k in OUTPUT_SHAPE}
+        for i, idx in enumerate(indices):
+            coords, vals, labs = self.event(int(idx))
+            n = len(coords)
+            image[i, :n, :d] = coords
+            image[i, :n, d] = vals
+            for k, v in labs.items():
+                labels[k][i] = v
+        out = {"image": image}
+        out.update(labels)
+        return out

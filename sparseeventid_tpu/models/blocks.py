@@ -1,0 +1,261 @@
+"""Sparse network building blocks (flax) — capability parity with
+/root/reference/src/networks/sparse_building_blocks.py, built on the
+TPU-native ops core instead of scn.
+
+Key structural difference from the torch version: rulebooks are explicit.
+A submanifold BlockSeries shares ONE rulebook for all its convs (SCN caches
+this in C++ metadata; here the reuse is visible and jit-friendly).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config.schema import ConvRepresentation, DownSampling, Norm
+from ..ops import (
+    Rulebook,
+    SparseTensor,
+    apply_norm,
+    average_pool,
+    build_downsample,
+    build_submanifold_rulebook,
+    build_upsample,
+    deconv,
+    masked_batch_stats,
+    masked_group_norm,
+    strided_conv,
+    submanifold_conv,
+)
+
+# He-style init over the (K, Cin) receptive field, the standard for
+# conv-with-untied-offset-weights layouts.
+conv_init = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
+
+
+class MaskedBatchNorm(nn.Module):
+    """Batch norm over active voxels only (scn.BatchNormalization semantics,
+    eps/momentum matching scn defaults)."""
+
+    momentum: float = 0.9
+    eps: float = 1e-4
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, mask: jax.Array, train: bool) -> jax.Array:
+        c = feats.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if train:
+            mean, var = masked_batch_stats(feats, mask, self.axis_name)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        return apply_norm(feats, mask, mean, var, scale, bias, self.eps)
+
+
+class MaskedGroupNorm(nn.Module):
+    """scn.SparseGroupNorm(num_groups=1) equivalent."""
+
+    num_groups: int = 1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, feats: jax.Array, mask: jax.Array, train: bool = True):
+        c = feats.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return masked_group_norm(feats, mask, self.num_groups, scale, bias, self.eps)
+
+
+def _make_norm(norm: Norm, name: str, axis_name: str | None = None):
+    if norm == Norm.batch:
+        return MaskedBatchNorm(name=name, axis_name=axis_name)
+    if norm in (Norm.group, Norm.layer):
+        return MaskedGroupNorm(name=name)
+    return None
+
+
+class InputNorm(nn.Module):
+    """Reference InputNorm = SparseGroupNorm(1, C) on the raw input
+    (sparse_building_blocks.py:7-16)."""
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = True) -> SparseTensor:
+        out = MaskedGroupNorm(name="norm")(st.feats, st.row_mask(), train)
+        return st.with_feats(out)
+
+
+class SparseBlock(nn.Module):
+    """Submanifold conv + norm + activation (reference Block :18-57)."""
+
+    n_out: int
+    params: ConvRepresentation
+    activate: bool = True
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, rb: Rulebook, train: bool) -> SparseTensor:
+        k = rb.num_offsets
+        c_in = st.num_channels
+        w = self.param("w", conv_init, (k, c_in, self.n_out))
+        b = (
+            self.param("b", nn.initializers.zeros, (self.n_out,))
+            if self.params.bias
+            else None
+        )
+        out = submanifold_conv(st, rb, w, b)
+        norm = _make_norm(self.params.normalization, "norm", self.axis_name)
+        if norm is not None:
+            out = out.with_feats(norm(out.feats, out.row_mask(), train))
+        if self.activate:
+            out = out.with_feats(
+                nn.leaky_relu(out.feats, negative_slope=self.params.leakiness)
+            )
+        return out
+
+
+class SparseResidualBlock(nn.Module):
+    """conv-norm-act, conv-norm, +residual, act (reference ResidualBlock :61-100)."""
+
+    n_out: int
+    params: ConvRepresentation
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, rb: Rulebook, train: bool) -> SparseTensor:
+        residual = st.feats
+        out = SparseBlock(
+            self.n_out, self.params, activate=True, axis_name=self.axis_name,
+            name="conv1",
+        )(st, rb, train)
+        out = SparseBlock(
+            self.n_out, self.params, activate=False, axis_name=self.axis_name,
+            name="conv2",
+        )(out, rb, train)
+        summed = out.feats + residual
+        return out.with_feats(
+            nn.leaky_relu(summed, negative_slope=self.params.leakiness)
+        )
+
+
+class SparseBlockSeries(nn.Module):
+    """n_blocks (residual) blocks sharing one rulebook (reference BlockSeries
+    :231-264). The rulebook is built once per site set by the caller."""
+
+    n_blocks: int
+    params: ConvRepresentation
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, rb: Rulebook, train: bool) -> SparseTensor:
+        for i in range(self.n_blocks):
+            if self.params.residual:
+                st = SparseResidualBlock(
+                    st.num_channels, self.params, axis_name=self.axis_name,
+                    name=f"block_{i}",
+                )(st, rb, train)
+            else:
+                st = SparseBlock(
+                    st.num_channels, self.params, axis_name=self.axis_name,
+                    name=f"block_{i}",
+                )(st, rb, train)
+        return st
+
+
+class ConvolutionDownsample(nn.Module):
+    """Strided conv (filter=stride) + norm + act (reference :103-139).
+    Builds the new site set; `out_capacity` implements the static
+    voxel-capacity schedule (SURVEY.md §7.4 item 1)."""
+
+    n_out: int
+    stride: Tuple[int, ...]
+    params: ConvRepresentation
+    out_capacity: int | None = None
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
+        skeleton, rb = build_downsample(st, self.stride, self.out_capacity)
+        k = rb.num_offsets
+        w = self.param("w", conv_init, (k, st.num_channels, self.n_out))
+        out = strided_conv(st, skeleton, rb, w, bias=None)  # reference bias=False
+        norm = _make_norm(self.params.normalization, "norm", self.axis_name)
+        if norm is not None:
+            out = out.with_feats(norm(out.feats, out.row_mask(), train))
+        return out.with_feats(
+            nn.leaky_relu(out.feats, negative_slope=self.params.leakiness)
+        )
+
+
+class PoolingDownsample(nn.Module):
+    """AveragePooling + 1x1 filter update (reference Pooling :142-168,
+    implemented working — the reference version has a broken kwarg)."""
+
+    n_out: int
+    stride: Tuple[int, ...]
+    params: ConvRepresentation
+    out_capacity: int | None = None
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
+        skeleton, rb = build_downsample(st, self.stride, self.out_capacity)
+        pooled = average_pool(st, skeleton, rb, self.stride)
+        # 1x1 "filter update" block: K=1 pointwise conv
+        w = self.param("w", conv_init, (1, st.num_channels, self.n_out))
+        b = (
+            self.param("b", nn.initializers.zeros, (self.n_out,))
+            if self.params.bias
+            else None
+        )
+        out_feats = jnp.einsum("bnc,co->bno", pooled.feats, w[0])
+        if b is not None:
+            out_feats = out_feats + b
+        out = pooled.with_feats(
+            jnp.where(pooled.row_mask()[..., None], out_feats, 0)
+        )
+        norm = _make_norm(self.params.normalization, "norm", self.axis_name)
+        if norm is not None:
+            out = out.with_feats(norm(out.feats, out.row_mask(), train))
+        return out.with_feats(
+            nn.leaky_relu(out.feats, negative_slope=self.params.leakiness)
+        )
+
+
+class ConvolutionUpsample(nn.Module):
+    """scn.Deconvolution onto a supplied target site set (reference :202-229,
+    with the norm-flag bug fixed)."""
+
+    n_out: int
+    stride: Tuple[int, ...]
+    params: ConvRepresentation
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(
+        self, st: SparseTensor, target: SparseTensor, train: bool
+    ) -> SparseTensor:
+        rb = build_upsample(st, target, self.stride)
+        k = rb.num_offsets
+        w = self.param("w", conv_init, (k, st.num_channels, self.n_out))
+        b = (
+            self.param("b", nn.initializers.zeros, (self.n_out,))
+            if self.params.bias
+            else None
+        )
+        out = deconv(st, target, rb, w, b)
+        norm = _make_norm(self.params.normalization, "norm", self.axis_name)
+        if norm is not None:
+            out = out.with_feats(norm(out.feats, out.row_mask(), train))
+        return out.with_feats(
+            nn.leaky_relu(out.feats, negative_slope=self.params.leakiness)
+        )

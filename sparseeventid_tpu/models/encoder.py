@@ -1,0 +1,154 @@
+"""Sparse ResNet encoder — capability parity with
+/root/reference/src/networks/resnet.py (Encoder), TPU-native.
+
+Structure (resnet.py:12-139):
+  initial 5^d submanifold conv 1 -> n_initial_filters
+  depth x [ BlockSeries(blocks_per_layer) ; downsample x2, filters grow ]
+  final BlockSeries
+  1x1 bottleneck -> n_output_filters
+  (SparseToDense + tanh happen at the pooling boundary; here the encoder
+   returns the final SparseTensor with tanh applied — tanh(0)=0 so masked
+   global pooling matches dense AvgPool exactly.)
+
+2D multiplane trick (resnet.py:26-36): 2D data is a 3D grid with the plane
+index as coordinate 0 and kernels [1, k, k] — plane-shared weights with no
+cross-plane mixing, identical semantics here via per-dim kernel sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config.schema import (
+    ConvRepresentation,
+    DownSampling,
+    GrowthRate,
+    SparseEventIDConfig,
+)
+from ..ops import SparseTensor, build_submanifold_rulebook, submanifold_conv
+from .blocks import (
+    ConvolutionDownsample,
+    PoolingDownsample,
+    SparseBlockSeries,
+    conv_init,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def capacity_schedule(
+    n0: int, depth: int, shrink: float, min_capacity: int
+) -> Tuple[int, ...]:
+    """Static per-level COO capacities. Sparse track-like events lose roughly
+    half their active voxels per 2x downsample; capping capacity per level
+    keeps every gather/GEMM small at deep levels (the reference has no
+    analog — scn reallocates dynamically, which XLA cannot)."""
+    caps = [n0]
+    c = n0
+    for _ in range(depth):
+        c = max(min_capacity, _round_up(int(c * shrink), 8))
+        caps.append(min(c, caps[-1]))
+    return tuple(caps)
+
+
+class Encoder(nn.Module):
+    """Returns the encoded SparseTensor (n_output_filters channels, spatial
+    reduced by 2**depth) with tanh applied."""
+
+    params: ConvRepresentation
+    dimension: int  # 2 => plane-axis grid with [1,k,k] kernels
+    capacities: Tuple[int, ...] = ()
+    axis_name: str | None = None
+
+    def _kernel(self, k: int) -> Tuple[int, ...]:
+        if self.dimension == 2:
+            return (1, k, k)
+        return (k,) * self.dimension
+
+    def _stride(self) -> Tuple[int, ...]:
+        if self.dimension == 2:
+            return (1, 2, 2)
+        return (2,) * self.dimension
+
+    @nn.compact
+    def __call__(self, st: SparseTensor, train: bool = True) -> SparseTensor:
+        p = self.params
+        caps = self.capacities or (None,) * (p.depth + 1)
+
+        # Initial 5^d submanifold convolution (resnet.py:30-50)
+        rb = build_submanifold_rulebook(st, self._kernel(5))
+        w0 = self.param(
+            "initial_w", conv_init, (rb.num_offsets, st.num_channels, p.n_initial_filters)
+        )
+        b0 = (
+            self.param("initial_b", nn.initializers.zeros, (p.n_initial_filters,))
+            if p.bias
+            else None
+        )
+        st = submanifold_conv(st, rb, w0, b0)
+
+        filters = p.n_initial_filters
+        block_kernel = self._kernel(p.filter_size)
+        downsampler = (
+            ConvolutionDownsample
+            if p.downsampling == DownSampling.convolutional
+            else PoolingDownsample
+        )
+        for i in range(p.depth):
+            rb = build_submanifold_rulebook(st, block_kernel)
+            st = SparseBlockSeries(
+                p.blocks_per_layer, p, axis_name=self.axis_name, name=f"series_{i}"
+            )(st, rb, train)
+            if p.growth_rate == GrowthRate.multiplicative:
+                next_filters = filters * 2
+            else:
+                next_filters = filters + p.n_initial_filters
+            st = downsampler(
+                next_filters,
+                self._stride(),
+                p,
+                out_capacity=caps[i + 1],
+                axis_name=self.axis_name,
+                name=f"down_{i}",
+            )(st, train)
+            filters = next_filters
+
+        rb = build_submanifold_rulebook(st, block_kernel)
+        st = SparseBlockSeries(
+            p.blocks_per_layer, p, axis_name=self.axis_name, name="final_series"
+        )(st, rb, train)
+
+        # 1x1 bottleneck (resnet.py:105-110): pointwise, no rulebook needed
+        wb = self.param("bottleneck_w", conv_init, (1, filters, p.n_output_filters))
+        bb = (
+            self.param("bottleneck_b", nn.initializers.zeros, (p.n_output_filters,))
+            if p.bias
+            else None
+        )
+        feats = jnp.einsum("bnc,co->bno", st.feats, wb[0])
+        if bb is not None:
+            feats = feats + bb
+        feats = jnp.where(st.row_mask()[..., None], feats, 0)
+        st = st.with_feats(feats)
+
+        # Final activation (resnet.py:159): tanh; tanh(0)=0 keeps padding inert.
+        return st.with_feats(jnp.tanh(st.feats))
+
+
+def encoder_output_shape(
+    cfg_encoder: ConvRepresentation, image_shape: Tuple[int, ...], dimension: int
+) -> Tuple[int, ...]:
+    """[C, *spatial/2**depth] (resnet.py:114-119)."""
+    if dimension == 2:
+        spatial = [image_shape[0]] + [
+            s // 2**cfg_encoder.depth for s in image_shape[1:]
+        ]
+    else:
+        spatial = [s // 2**cfg_encoder.depth for s in image_shape]
+    return tuple([cfg_encoder.n_output_filters] + spatial)

@@ -1,0 +1,88 @@
+"""Device mesh + data-parallel shard_map wiring — replaces the reference's
+MPI/NCCL/Horovod stack (/root/reference/src/utils/torch/distributed_trainer.py,
+create_trainer.py:45-73) with JAX-native SPMD.
+
+The batched COO layout shards naturally: every SparseTensor leaf has the
+batch as its leading axis, so P('data') on the whole pytree gives each device
+its own events.  Gradients are pmean'ed inside the step (supervised.py) —
+XLA emits an all-reduce over ICI.
+
+Multi-host bootstrap is jax.distributed.initialize (coordinator-based, no
+MPI); per-host IO sharding keys off jax.process_index() (io/dataset.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
+    """Move a host batch pytree onto the mesh, split on the leading axis."""
+    sharding = batch_sharded(mesh, axis)
+    return jax.device_put(tree, sharding)
+
+
+def make_dp_train_step(step_fn: Callable, mesh: Mesh, axis: str = DATA_AXIS):
+    """Wrap a per-shard step(state, st, labels, rng) in shard_map + jit.
+
+    state is replicated, batch pytrees are sharded on the leading (batch)
+    axis, rng is replicated. step_fn must pmean its grads/metrics over
+    ``axis`` (make_train_step(axis_name=axis) does)."""
+    from jax import shard_map
+
+    sharded = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_dp_eval_step(step_fn: Callable, mesh: Mesh, axis: str = DATA_AXIS):
+    from jax import shard_map
+
+    sharded = shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def initialize_distributed(coordinator: str | None = None, **kwargs) -> None:
+    """Multi-host bootstrap (jax.distributed.initialize). On TPU pods the
+    coordinator is auto-discovered; no MPI (SURVEY.md §5.8)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator, **kwargs)
+    else:
+        try:
+            jax.distributed.initialize(**kwargs)
+        except Exception:
+            pass  # single-process run
