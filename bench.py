@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Headline benchmark: DUNE-3D-class supervised training throughput
+(events/sec/chip) on the flagship sparse ResNet.
+
+Shapes mirror the dune3d recipe (/root/reference/src/io/larcv_fetcher.py:37-56:
+grid 1024x512x1280, MaxVoxels=50000; encoder depth 5, 4 residual blocks/level,
+32->192 filters, resnet.py + config/network.py defaults).  Events are
+synthetic track-like topologies at a realistic active-voxel count.
+
+The reference publishes no numbers (BASELINE.md).  vs_baseline is computed
+against an assumed 30 events/s/GPU for an A100 + MinkowskiEngine/SCN-class
+submanifold ResNet of this depth at 25-50k active voxels — the class of
+system named in the BASELINE.json north star ("5x A100+MinkowskiEngine-class
+events/sec/chip" -> vs_baseline 5.0 means the north star is met).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ASSUMED_A100_MINKOWSKI_EVENTS_PER_S = 30.0
+
+GRID = (1024, 512, 1280)
+MAX_VOXELS = 50000
+ACTIVE_VOXELS = 25000  # typical occupancy is well under the 50k cap
+BATCH = 8
+WARMUP = 2
+ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparseeventid_tpu import ops
+    from sparseeventid_tpu.config import load_config
+    from sparseeventid_tpu.config.schema import LossBalanceScheme, OUTPUT_SHAPE
+    from sparseeventid_tpu.models import build_sparse_classifier
+    from sparseeventid_tpu.train import (
+        build_lr_schedule,
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = load_config(
+        "dune3d",
+        [
+            f"run.minibatch_size={BATCH}",
+            "run.precision=bfloat16",
+            "run.distributed=false",
+        ],
+    )
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, max_voxels=MAX_VOXELS)
+    )
+    model = build_sparse_classifier(cfg)
+
+    rng = np.random.default_rng(0)
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        coords = np.full((BATCH, MAX_VOXELS, 3), -1, np.int32)
+        feats = np.zeros((BATCH, MAX_VOXELS, 1), np.float32)
+        for b in range(BATCH):
+            # track-like: a few hundred segments of correlated voxels
+            n = ACTIVE_VOXELS
+            n_tracks = 40
+            per = n // n_tracks
+            pts = []
+            for t in range(n_tracks):
+                start = r.uniform(0.2, 0.8, 3) * np.array(GRID)
+                d = r.normal(size=3)
+                d /= np.linalg.norm(d)
+                steps = np.arange(per)[:, None] * d[None, :] * 2.0
+                pts.append(start[None, :] + steps + r.normal(scale=0.6, size=(per, 3)))
+            pts = np.concatenate(pts)
+            np.clip(pts, 0, np.array(GRID) - 1, out=pts)
+            c = np.unique(pts.astype(np.int32), axis=0)
+            k = min(len(c), MAX_VOXELS)
+            coords[b, :k] = c[:k]
+            feats[b, :k, 0] = r.standard_normal(k)
+        st = ops.build_sparse_tensor(jnp.asarray(coords), jnp.asarray(feats), GRID)
+        st = st.with_feats(st.feats.astype(jnp.bfloat16))
+        labels = {
+            k: jnp.asarray(r.integers(0, v, BATCH).astype(np.int32))
+            for k, v in OUTPUT_SHAPE.items()
+        }
+        return st, labels
+
+    st, labels = make_batch(0)
+    lr = build_lr_schedule(cfg.mode.optimizer.lr_schedule, 100, 25)
+    optimizer = build_optimizer(cfg.mode.optimizer, lr)
+    state = create_train_state(
+        model, optimizer, jax.random.PRNGKey(0), st
+    )
+    step = jax.jit(
+        make_train_step(model, optimizer, LossBalanceScheme.focal, lr)
+    )
+    key = jax.random.PRNGKey(1)
+
+    # NOTE: on the axon platform block_until_ready does not actually block;
+    # force a device->host transfer to fence timing.
+    for i in range(WARMUP):
+        state, metrics = step(state, st, labels, key)
+    _ = float(metrics["loss/loss"])
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        state, metrics = step(state, st, labels, key)
+    _ = float(metrics["loss/loss"]) + float(
+        jax.tree_util.tree_leaves(state.params)[0].ravel()[0]
+    )
+    dt = (time.perf_counter() - t0) / ITERS
+
+    events_per_s = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "dune3d_train_events_per_sec_per_chip",
+                "value": round(events_per_s, 2),
+                "unit": "events/s",
+                "vs_baseline": round(
+                    events_per_s / ASSUMED_A100_MINKOWSKI_EVENTS_PER_S, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

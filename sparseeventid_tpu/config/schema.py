@@ -219,6 +219,8 @@ class Framework:
     # static COO capacity (1.0 = keep full capacity at every level)
     capacity_shrink: float = 0.5
     min_capacity: int = 1024
+    # rematerialize block series in backward (trade FLOPs for HBM)
+    remat: bool = True
 
 
 @dataclass

@@ -36,6 +36,7 @@ class SparseEventClassifier(nn.Module):
     head_hidden: int = 256
     head_dropout: float = 0.5
     axis_name: str | None = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = True) -> Dict[str, jax.Array]:
@@ -44,6 +45,7 @@ class SparseEventClassifier(nn.Module):
             self.dimension,
             capacities=self.capacities,
             axis_name=self.axis_name,
+            remat=self.remat,
             name="encoder",
         )(st, train)
         pooled = pool_encoded(encoded)
@@ -73,4 +75,5 @@ def build_sparse_classifier(
         head_hidden=cfg.head.hidden,
         head_dropout=cfg.head.dropout,
         axis_name=axis_name,
+        remat=cfg.framework.remat,
     )

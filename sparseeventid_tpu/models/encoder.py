@@ -65,6 +65,7 @@ class Encoder(nn.Module):
     dimension: int  # 2 => plane-axis grid with [1,k,k] kernels
     capacities: Tuple[int, ...] = ()
     axis_name: str | None = None
+    remat: bool = False  # jax.checkpoint each block series (HBM for FLOPs)
 
     def _kernel(self, k: int) -> Tuple[int, ...]:
         if self.dimension == 2:
@@ -100,9 +101,14 @@ class Encoder(nn.Module):
             if p.downsampling == DownSampling.convolutional
             else PoolingDownsample
         )
+        series_cls = (
+            nn.remat(SparseBlockSeries, static_argnums=(3,))
+            if self.remat
+            else SparseBlockSeries
+        )
         for i in range(p.depth):
             rb = build_submanifold_rulebook(st, block_kernel)
-            st = SparseBlockSeries(
+            st = series_cls(
                 p.blocks_per_layer, p, axis_name=self.axis_name, name=f"series_{i}"
             )(st, rb, train)
             if p.growth_rate == GrowthRate.multiplicative:
@@ -120,7 +126,7 @@ class Encoder(nn.Module):
             filters = next_filters
 
         rb = build_submanifold_rulebook(st, block_kernel)
-        st = SparseBlockSeries(
+        st = series_cls(
             p.blocks_per_layer, p, axis_name=self.axis_name, name="final_series"
         )(st, rb, train)
 

@@ -23,7 +23,8 @@ class TrainState:
 
 
 def create_train_state(model, optimizer, rng, example_input) -> TrainState:
-    variables = model.init(rng, example_input, True)
+    # jit the init: eager per-op dispatch at full model scale is minutes-slow
+    variables = jax.jit(model.init, static_argnums=(2,))(rng, example_input, True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = optimizer.init(params)

@@ -1,0 +1,347 @@
+"""Training orchestrator — the equivalent of the reference's trainer factory
++ Lightning fit loop + legacy trainercore batch_process
+(/root/reference/src/utils/create_trainer.py, bin/exec.py:188-267,
+src/utils/core/trainercore.py:151-196), TPU-native:
+
+  * jitted train/eval steps (single device) or shard_map DP over a mesh
+  * background-prefetch host IO overlapping device steps
+  * checkpoint-restart with auto-resume, keep-N GC, encoder-only transfer
+  * per-step telemetry (img/s, io fetch, step time) and TensorBoard scalars
+  * val every ``val_check_interval`` steps (create_trainer.py:135 uses 10)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import (
+    AccessMode,
+    DataMode,
+    Detector,
+    LossBalanceScheme,
+    ModeKind,
+    OUTPUT_SHAPE,
+    Precision,
+    SparseEventIDConfig,
+    image_size,
+)
+from ..io.dataset import BatchLoader
+from ..io.synthetic import SyntheticDataset, SyntheticEventConfig
+from ..io.transforms import larcv_batch_to_sparse_2d, larcv_batch_to_sparse_3d
+from ..models import build_sparse_classifier
+from ..parallel import (
+    DATA_AXIS,
+    make_dp_eval_step,
+    make_dp_train_step,
+    make_mesh,
+    shard_batch,
+)
+from ..utils import (
+    CheckpointManager,
+    StepTimer,
+    SummaryWriter,
+    encoder_freeze_mask,
+    format_log_message,
+    getLogger,
+)
+from .optimizers import build_optimizer
+from .schedules import build_lr_schedule
+from .state import TrainState, create_train_state, param_count
+from .supervised import make_eval_step, make_predict_step, make_train_step
+
+logger = getLogger()
+
+
+class Trainer:
+    VAL_CHECK_INTERVAL = 10  # create_trainer.py:135
+
+    def __init__(self, cfg: SparseEventIDConfig):
+        self.cfg = cfg
+        self.output_dir = (
+            Path(cfg.output_dir) / cfg.data.detector.name / str(cfg.run.id)
+        )
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        if jax.process_index() == 0:
+            logger.add_file(self.output_dir / "process.log")
+
+        self.image_shape = image_size(cfg)
+        self.datasets = self._build_datasets()
+        self.loaders: Dict[str, BatchLoader] = {}
+        self.axis_name = DATA_AXIS if cfg.run.distributed else None
+        self.mesh = make_mesh() if cfg.run.distributed else None
+        self.writer = SummaryWriter(self.output_dir / "tb")
+        self.ckpt = CheckpointManager(self.output_dir / "checkpoints", keep=5)
+
+        self.model = build_sparse_classifier(cfg, axis_name=self.axis_name)
+        self._batch_dtype = (
+            jnp.bfloat16
+            if cfg.run.precision in (Precision.bfloat16, Precision.mixed)
+            else jnp.float32
+        )
+
+    # ------------------------------------------------------------------ data
+    def _build_datasets(self):
+        cfg = self.cfg
+        datasets = {}
+        active = cfg.data.active or ("train",)
+        for split in active:
+            if cfg.data.detector == Detector.synthetic:
+                datasets[split] = SyntheticDataset(
+                    cfg.data.synthetic_events,
+                    SyntheticEventConfig(
+                        image_size=self.image_shape,
+                        max_voxels=cfg.data.max_voxels,
+                        normalize=cfg.data.normalize,
+                    ),
+                    seed=hash(split) % 2**31,
+                )
+            else:
+                from ..io.larcv import LarcvDataset
+
+                path = getattr(cfg.data, split if split != "val" else "val")
+                datasets[split] = LarcvDataset(
+                    path,
+                    image_key=cfg.data.image_key,
+                    dimension=cfg.data.dimension,
+                    max_voxels=cfg.data.max_voxels,
+                    normalize=cfg.data.normalize,
+                )
+        return datasets
+
+    def _loader(self, split: str) -> BatchLoader:
+        if split not in self.loaders:
+            self.loaders[split] = BatchLoader(
+                self.datasets[split],
+                self.cfg.run.minibatch_size,
+                access_mode=self.cfg.data.mode,
+                seed=self.cfg.data.seed if self.cfg.data.seed >= 0 else 0,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            )
+        return self.loaders[split]
+
+    def _to_device(self, batch: Dict):
+        if self.cfg.data.dimension == 2:
+            st = larcv_batch_to_sparse_2d(batch["image"], self.image_shape)
+        else:
+            st = larcv_batch_to_sparse_3d(batch["image"], self.image_shape)
+        if self._batch_dtype != jnp.float32:
+            st = st.with_feats(st.feats.astype(self._batch_dtype))
+        labels = {k: jnp.asarray(batch[k]) for k in OUTPUT_SHAPE if k in batch}
+        if self.mesh is not None:
+            st, labels = shard_batch(self.mesh, (st, labels))
+        return st, labels
+
+    # ----------------------------------------------------------------- build
+    def _build_training(self) -> Tuple:
+        cfg = self.cfg
+        opt_cfg = cfg.mode.optimizer
+        epoch_length = len(self._loader("train"))
+        total_epochs = max(cfg.run.length, 1)
+        lr_schedule = build_lr_schedule(
+            opt_cfg.lr_schedule, epoch_length, total_epochs
+        )
+        optimizer = build_optimizer(opt_cfg, lr_schedule)
+
+        st0, _ = self._to_device(self.datasets["train"].batch(
+            list(range(cfg.run.minibatch_size))
+        ))
+        # init with an axis-free twin (sync-BN psum needs the mesh context;
+        # identical param structure)
+        init_model = (
+            build_sparse_classifier(cfg) if self.axis_name else self.model
+        )
+        init = jax.jit(init_model.init, static_argnums=(2,))
+        variables = init(jax.random.PRNGKey(cfg.run.seed), st0, True)
+        state = TrainState(
+            variables["params"],
+            variables.get("batch_stats", {}),
+            optimizer.init(variables["params"]),
+            jnp.zeros((), jnp.int32),
+        )
+        logger.info(f"Model parameters: {param_count(state.params):,}")
+
+        state = self._restore(state)
+
+        scheme = opt_cfg.loss_balance_scheme
+        train_step = make_train_step(
+            self.model, optimizer, scheme, lr_schedule, axis_name=self.axis_name
+        )
+        eval_step = make_eval_step(self.model, scheme, axis_name=self.axis_name)
+        if self.mesh is not None:
+            train_step = make_dp_train_step(train_step, self.mesh)
+            eval_step = make_dp_eval_step(eval_step, self.mesh)
+        else:
+            train_step = jax.jit(train_step)
+            eval_step = jax.jit(eval_step)
+        n_steps = (
+            cfg.mode.iterations
+            if getattr(cfg.mode, "iterations", 0)
+            else epoch_length * total_epochs
+        )
+        return state, train_step, eval_step, n_steps
+
+    def _restore(self, state: TrainState) -> TrainState:
+        cfg = self.cfg
+        # (a) encoder-only transfer (create_trainer.py:94-106)
+        if cfg.mode.weights_location and cfg.mode.restore_encoder_only:
+            from ..utils.checkpoint import load_encoder_only
+
+            params = load_encoder_only(
+                state.params, cfg.mode.weights_location, state
+            )
+            logger.info(
+                f"Transferred encoder weights from {cfg.mode.weights_location} "
+                "(encoder frozen not yet applied to optimizer)"
+            )
+            return dataclasses.replace(state, params=params)
+        # (b) full restore from explicit location
+        if cfg.mode.weights_location:
+            import flax.serialization
+
+            state = flax.serialization.from_bytes(
+                state, Path(cfg.mode.weights_location).read_bytes()
+            )
+            logger.info(f"Restored full state from {cfg.mode.weights_location}")
+            return state
+        # (c) auto-resume newest checkpoint (create_trainer.py:111-118)
+        if self.ckpt.latest_step() is not None:
+            state, step = self.ckpt.restore(state)
+            logger.info(f"Auto-resumed from step {step}")
+        return state
+
+    # ----------------------------------------------------------------- modes
+    def train(self):
+        cfg = self.cfg
+        state, train_step, eval_step, n_steps = self._build_training()
+        loader = self._loader("train")
+        val_loader = self._loader("val") if "val" in self.datasets else None
+        rng = jax.random.PRNGKey(cfg.run.seed + 1)
+        timer = StepTimer()
+        start = int(state.step)
+        log_every = getattr(cfg.mode, "logging_iteration", 1) or 1
+        ckpt_every = getattr(cfg.mode, "checkpoint_iteration", 50) or 50
+
+        for i in range(start, n_steps):
+            if val_loader is not None and i % self.VAL_CHECK_INTERVAL == 0:
+                vb = next(val_loader)
+                vst, vlabels = self._to_device(vb)
+                vmetrics = jax.device_get(eval_step(state, vst, vlabels))
+                self.writer.write(vmetrics, i, prefix="/val/")
+                logger.info(
+                    format_log_message(
+                        vmetrics, cfg.run.minibatch_size, i, mode="val"
+                    )
+                )
+            batch = next(loader)
+            st, labels = self._to_device(batch)
+            timer.mark_io()
+            state, metrics = train_step(state, st, labels, rng)
+            jax.block_until_ready(metrics["loss/loss"])
+            timer.mark_step()
+            if i % log_every == 0:
+                metrics = jax.device_get(metrics)
+                self.writer.write(metrics, i, prefix="/train/")
+                logger.info(
+                    format_log_message(
+                        metrics, cfg.run.minibatch_size, i, mode="train",
+                        timer=timer,
+                    )
+                )
+            if (i + 1) % ckpt_every == 0 and jax.process_index() == 0:
+                self.ckpt.save(state, int(state.step))
+        if jax.process_index() == 0:
+            self.ckpt.save(state, int(state.step))
+        self.writer.flush()
+        self._shutdown()
+        return state
+
+    def validate(self):
+        """Inference mode: run the val split once, report metrics; optionally
+        save per-event softmax (legacy ana_step parity)."""
+        cfg = self.cfg
+        state, _, eval_step, _ = self._build_training()
+        predict = make_predict_step(self.model)
+        if self.mesh is None:
+            predict = jax.jit(predict)
+        split = "val" if "val" in self.datasets else "test"
+        ds = self.datasets[split]
+        bs = cfg.run.minibatch_size
+        n_batches = max(len(ds) // bs, 1)
+        all_metrics = []
+        outputs = {k: [] for k in OUTPUT_SHAPE}
+        for i in range(n_batches):
+            batch = ds.batch(list(range(i * bs, min((i + 1) * bs, len(ds)))))
+            st, labels = self._to_device(batch)
+            m = jax.device_get(eval_step(state, st, labels))
+            all_metrics.append(m)
+            if getattr(cfg.mode, "output_file", ""):
+                soft = jax.device_get(predict(state, st))
+                for k in OUTPUT_SHAPE:
+                    outputs[k].append(soft[k])
+        mean = {
+            k: float(np.mean([m[k] for m in all_metrics])) for k in all_metrics[0]
+        }
+        logger.info(f"validation over {n_batches} batches: {mean}")
+        if getattr(cfg.mode, "output_file", ""):
+            np.savez(
+                cfg.mode.output_file,
+                **{k: np.concatenate(v) for k, v in outputs.items()},
+            )
+            logger.info(f"wrote softmax outputs to {cfg.mode.output_file}")
+        self._shutdown()
+        return mean
+
+    def iotest(self):
+        """IO benchmark (bin/exec.py:226-267): time N minibatch fetches."""
+        import time
+
+        cfg = self.cfg
+        results = {}
+        iterations = getattr(cfg.mode, "iterations", 25) or 25
+        for split in self.datasets:
+            loader = self._loader(split)
+            next(loader)  # warmup / fill prefetch
+            times = []
+            for i in range(iterations):
+                t0 = time.perf_counter()
+                batch = next(loader)
+                dt = time.perf_counter() - t0
+                times.append(dt)
+                logger.info(
+                    f"{split} fetch {i}: {dt * 1e3:.2f} ms "
+                    f"({cfg.run.minibatch_size / dt:.1f} img/s)"
+                )
+            arr = np.array(times[1:]) if len(times) > 1 else np.array(times)
+            results[split] = dict(
+                mean_ms=float(arr.mean() * 1e3),
+                img_per_s=float(cfg.run.minibatch_size / arr.mean()),
+            )
+            logger.info(
+                f"{split}: mean fetch {results[split]['mean_ms']:.2f} ms, "
+                f"{results[split]['img_per_s']:.1f} img/s"
+            )
+        self._shutdown()
+        return results
+
+    def _shutdown(self):
+        for loader in self.loaders.values():
+            loader.stop()
+
+
+def run_mode(cfg: SparseEventIDConfig):
+    """Mode dispatch (bin/exec.py:72-80)."""
+    trainer = Trainer(cfg)
+    if cfg.mode.name == ModeKind.train:
+        return trainer.train()
+    if cfg.mode.name == ModeKind.inference:
+        return trainer.validate()
+    if cfg.mode.name == ModeKind.iotest:
+        return trainer.iotest()
+    raise ValueError(f"unknown mode {cfg.mode.name}")
