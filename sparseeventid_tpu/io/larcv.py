@@ -1,0 +1,279 @@
+"""larcv3-schema HDF5 reader + writer — replaces the larcv3 C++ IO engine
+(queue_interface / BatchFillers) for this framework.
+
+Schema notes (reverse-engineered from the reference's direct h5py usage —
+/root/reference/src/io/larcv_fetcher.py:307-314 reads
+``Data/particle_<producer>_group/particles['energy_deposit']`` and
+/root/reference/scripts/calculate_weights.py:5-13 reads
+``Data/particle_<label>_group/particles['pdg']``):
+
+    Data/
+      particle_<producer>_group/
+        extents    : compound (first u64, n u32), one row per event
+        particles  : compound (id, pdg i32, energy_deposit f64, ...) flat
+      sparse3d_<producer>_group/  (sparse2d_* for 2D)
+        extents        : compound (first u64, n u32), one row per event,
+                         indexing voxel_extents (one row per projection)
+        voxel_extents  : compound (first u64, n u32), one row per
+                         (event x projection), indexing voxels
+        voxels         : compound (id u64, value f32); id = row-major
+                         linear voxel index within the projection meta
+
+Label contract (larcv_fetcher.py:145-155,428-431): producers neutID /
+protID / cpiID / npiID carry exactly one particle per event whose ``pdg``
+field IS the class label; producer ``event`` carries the true particle with
+``energy_deposit``.
+
+The writer emits the same layout (used for golden tests, for converting
+detector data, and for inference output writing — the larcv_writer
+capability of the legacy stack, torch_inference.py:719-776).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config.schema import OUTPUT_SHAPE
+
+EXTENT_DTYPE = np.dtype([("first", "<u8"), ("n", "<u4")])
+VOXEL_DTYPE = np.dtype([("id", "<u8"), ("value", "<f4")])
+PARTICLE_DTYPE = np.dtype(
+    [
+        ("id", "<u8"),
+        ("pdg", "<i4"),
+        ("energy_deposit", "<f8"),
+        ("energy_init", "<f8"),
+        ("vertex", "<f8", (3,)),
+    ]
+)
+
+LABEL_PRODUCERS = ("neutID", "protID", "cpiID", "npiID")
+
+
+class LarcvWriter:
+    """Streaming writer for the larcv3-style HDF5 layout above."""
+
+    def __init__(
+        self,
+        path: str | Path,
+        image_producer: str,
+        n_projections: int,
+        meta: Dict,
+        dimension: int = 3,
+    ):
+        import h5py
+
+        self.f = h5py.File(path, "w")
+        self.dimension = dimension
+        self.image_producer = image_producer
+        self.n_projections = n_projections
+        self.meta = meta
+        self._datatype = f"sparse{dimension}d"
+        self._image: Dict[str, List] = dict(
+            extents=[], voxel_extents=[], voxels=[]
+        )
+        self._particles: Dict[str, Dict[str, List]] = {}
+
+    def write_event(
+        self,
+        projections: Sequence[Tuple[np.ndarray, np.ndarray]],
+        labels: Optional[Dict[str, int]] = None,
+        energy: float = 0.0,
+        vertex: Sequence[float] = (0.0, 0.0, 0.0),
+    ):
+        """projections: list of (linear_voxel_ids u64[n], values f32[n])."""
+        assert len(projections) == self.n_projections
+        ext_first = len(self._image["voxel_extents"])
+        for ids, vals in projections:
+            v_first = len(self._image["voxels"])
+            self._image["voxels"].extend(zip(ids.tolist(), vals.tolist()))
+            self._image["voxel_extents"].append((v_first, len(ids)))
+        self._image["extents"].append((ext_first, self.n_projections))
+
+        def add_particle(producer, pdg, edep):
+            store = self._particles.setdefault(
+                producer, dict(extents=[], particles=[])
+            )
+            first = len(store["particles"])
+            store["particles"].append(
+                (len(store["extents"]), pdg, edep, edep, tuple(vertex))
+            )
+            store["extents"].append((first, 1))
+
+        if labels is not None:
+            for key in LABEL_PRODUCERS:
+                add_particle(key, int(labels[f"label{key}"]), energy)
+            add_particle("event", 0, energy)
+
+    def close(self):
+        grp = self.f.require_group("Data")
+        g = grp.create_group(f"{self._datatype}_{self.image_producer}_group")
+        g.create_dataset(
+            "extents", data=np.array(self._image["extents"], EXTENT_DTYPE)
+        )
+        g.create_dataset(
+            "voxel_extents",
+            data=np.array(self._image["voxel_extents"], EXTENT_DTYPE),
+        )
+        g.create_dataset(
+            "voxels", data=np.array(self._image["voxels"], VOXEL_DTYPE)
+        )
+        g.attrs["meta"] = json.dumps(self.meta)
+        for producer, store in self._particles.items():
+            pg = grp.create_group(f"particle_{producer}_group")
+            pg.create_dataset(
+                "extents", data=np.array(store["extents"], EXTENT_DTYPE)
+            )
+            pg.create_dataset(
+                "particles", data=np.array(store["particles"], PARTICLE_DTYPE)
+            )
+        self.f.close()
+
+
+class LarcvDataset:
+    """Random-access event reader with the dataset interface BatchLoader
+    expects (__len__, batch(indices), image_size).
+
+    Emits the same padded batch dict the larcv BatchFillers produce
+    (image [B, (planes,) MaxVoxels, D+1] with -999 fill + label arrays,
+    data_transforms.py:6-17 contract).
+    """
+
+    def __init__(
+        self,
+        path: str | Path,
+        image_key: str,
+        dimension: int = 3,
+        max_voxels: int = 50000,
+        normalize: bool = True,
+        read_labels: bool = True,
+    ):
+        import h5py
+
+        self.path = str(path)
+        self.f = h5py.File(self.path, "r")
+        self.image_key = image_key
+        self.dimension = dimension
+        self.max_voxels = max_voxels
+        self.normalize = normalize
+        data = self.f["Data"]
+        gname = f"sparse{dimension}d_{image_key}_group"
+        if gname not in data:
+            raise KeyError(
+                f"{gname} not in {self.path}; groups: {list(data.keys())}"
+            )
+        g = data[gname]
+        self.extents = g["extents"][:]
+        self.voxel_extents = g["voxel_extents"][:]
+        self.voxels = g["voxels"]  # lazy: potentially huge
+        self.meta = json.loads(g.attrs["meta"]) if "meta" in g.attrs else None
+        self.n_projections = int(self.extents["n"][0]) if len(self.extents) else 1
+
+        self.labels: Dict[str, np.ndarray] = {}
+        if read_labels:
+            for key in LABEL_PRODUCERS:
+                pg_name = f"particle_{key}_group"
+                if pg_name in data:
+                    self.labels[f"label{key}"] = (
+                        data[pg_name]["particles"]["pdg"][:].astype(np.int32)
+                    )
+        self.energy = None
+        if "particle_event_group" in data:
+            self.energy = data["particle_event_group"]["particles"][
+                "energy_deposit"
+            ][:]
+
+        if self.meta is not None:
+            self._grid = tuple(self.meta["n_voxels"])
+        else:
+            self._grid = None
+
+    def __len__(self) -> int:
+        return len(self.extents)
+
+    def image_size(self) -> Tuple[int, ...]:
+        if self.dimension == 2:
+            return (self.n_projections, *self._grid)
+        return tuple(self._grid)
+
+    def _event_voxels(self, index: int) -> List[Tuple[np.ndarray, np.ndarray]]:
+        first, n = self.extents[index]["first"], self.extents[index]["n"]
+        out = []
+        for p in range(int(n)):
+            ve = self.voxel_extents[int(first) + p]
+            v = self.voxels[int(ve["first"]) : int(ve["first"]) + int(ve["n"])]
+            out.append((v["id"].astype(np.int64), v["value"].astype(np.float32)))
+        return out
+
+    def _unravel(self, ids: np.ndarray) -> np.ndarray:
+        """linear id -> coords using the projection grid (row-major)."""
+        grid = self._grid
+        coords = np.empty((len(ids), len(grid)), np.int32)
+        rem = ids
+        for d in range(len(grid) - 1, 0, -1):
+            coords[:, d] = rem % grid[d]
+            rem = rem // grid[d]
+        coords[:, 0] = rem
+        return coords
+
+    def batch(self, indices) -> Dict[str, np.ndarray]:
+        b = len(indices)
+        d = len(self._grid)
+        if self.dimension == 2:
+            image = np.full(
+                (b, self.n_projections, self.max_voxels, d + 1), -999.0, np.float32
+            )
+        else:
+            image = np.full((b, self.max_voxels, d + 1), -999.0, np.float32)
+        for i, idx in enumerate(indices):
+            projections = self._event_voxels(int(idx))
+            for p, (ids, vals) in enumerate(projections):
+                if self.normalize and len(vals) > 1:
+                    mu, sd = vals.mean(), vals.std() + 1e-6
+                    vals = (vals - mu) / sd * 0.5 + 1.0  # Normalize: mean 1, std .5
+                k = min(len(ids), self.max_voxels)
+                coords = self._unravel(ids[:k])
+                if self.dimension == 2:
+                    image[i, p, :k, :d] = coords
+                    image[i, p, :k, d] = vals[:k]
+                else:
+                    image[i, :k, :d] = coords
+                    image[i, :k, d] = vals[:k]
+        out = {"image": image}
+        for key, arr in self.labels.items():
+            out[key] = arr[np.asarray(indices, np.int64)]
+        if self.energy is not None:
+            out["energy"] = self.energy[np.asarray(indices, np.int64)]
+        return out
+
+
+def write_synthetic_larcv_file(
+    path: str | Path,
+    n_events: int,
+    image_size: Tuple[int, ...] = (64, 64, 64),
+    seed: int = 0,
+    dimension: int = 3,
+    image_producer: str = "dunevoxels",
+):
+    """Golden-test helper: a tiny larcv3-schema file of synthetic events."""
+    from .synthetic import SyntheticEventConfig, generate_event
+
+    cfg = SyntheticEventConfig(image_size=image_size, normalize=False)
+    meta = dict(n_voxels=list(image_size))
+    writer = LarcvWriter(path, image_producer, 1, meta, dimension=dimension)
+    grid = np.array(image_size)
+    for i in range(n_events):
+        rng = np.random.default_rng((seed, i))
+        coords, vals, labels = generate_event(rng, cfg)
+        lin = coords[:, 0].astype(np.int64)
+        for dd in range(1, len(image_size)):
+            lin = lin * image_size[dd] + coords[:, dd]
+        writer.write_event(
+            [(lin.astype(np.uint64), vals)], labels=labels, energy=float(vals.sum())
+        )
+    writer.close()
+    return path
