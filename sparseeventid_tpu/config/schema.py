@@ -221,6 +221,9 @@ class Framework:
     min_capacity: int = 1024
     # rematerialize block series in backward (trade FLOPs for HBM)
     remat: bool = True
+    # sparse conv engine: 'window' (Pallas sorted-window, primary on TPU)
+    # or 'xla' (searchsorted + dynamic gather reference path)
+    sparse_backend: str = "window"
 
 
 @dataclass

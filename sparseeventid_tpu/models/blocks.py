@@ -30,6 +30,11 @@ from ..ops import (
     strided_conv,
     submanifold_conv,
 )
+from ..ops.engine import (
+    apply_strided,
+    apply_submanifold,
+    build_downsample_plan,
+)
 
 # He-style init over the (K, Cin) receptive field, the standard for
 # conv-with-untied-offset-weights layouts.
@@ -103,7 +108,7 @@ class SparseBlock(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, st: SparseTensor, rb: Rulebook, train: bool) -> SparseTensor:
+    def __call__(self, st: SparseTensor, rb, train: bool) -> SparseTensor:
         k = rb.num_offsets
         c_in = st.num_channels
         w = self.param("w", conv_init, (k, c_in, self.n_out))
@@ -112,7 +117,7 @@ class SparseBlock(nn.Module):
             if self.params.bias
             else None
         )
-        out = submanifold_conv(st, rb, w, b)
+        out = apply_submanifold(st, rb, w, b)
         norm = _make_norm(self.params.normalization, "norm", self.axis_name)
         if norm is not None:
             out = out.with_feats(norm(out.feats, out.row_mask(), train))
@@ -181,13 +186,18 @@ class ConvolutionDownsample(nn.Module):
     params: ConvRepresentation
     out_capacity: int | None = None
     axis_name: str | None = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
-        skeleton, rb = build_downsample(st, self.stride, self.out_capacity)
-        k = rb.num_offsets
+        skeleton, plan = build_downsample_plan(
+            st, self.stride, self.out_capacity, backend=self.backend
+        )
+        k = 1
+        for sdim in self.stride:
+            k *= int(sdim)
         w = self.param("w", conv_init, (k, st.num_channels, self.n_out))
-        out = strided_conv(st, skeleton, rb, w, bias=None)  # reference bias=False
+        out = apply_strided(st, skeleton, plan, w)  # reference bias=False
         norm = _make_norm(self.params.normalization, "norm", self.axis_name)
         if norm is not None:
             out = out.with_feats(norm(out.feats, out.row_mask(), train))
@@ -205,6 +215,7 @@ class PoolingDownsample(nn.Module):
     params: ConvRepresentation
     out_capacity: int | None = None
     axis_name: str | None = None
+    backend: str = "xla"  # pooling keeps the XLA gather path (cold)
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:

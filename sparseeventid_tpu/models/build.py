@@ -37,6 +37,7 @@ class SparseEventClassifier(nn.Module):
     head_dropout: float = 0.5
     axis_name: str | None = None
     remat: bool = False
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = True) -> Dict[str, jax.Array]:
@@ -46,6 +47,7 @@ class SparseEventClassifier(nn.Module):
             capacities=self.capacities,
             axis_name=self.axis_name,
             remat=self.remat,
+            backend=self.backend,
             name="encoder",
         )(st, train)
         pooled = pool_encoded(encoded)
@@ -76,4 +78,5 @@ def build_sparse_classifier(
         head_dropout=cfg.head.dropout,
         axis_name=axis_name,
         remat=cfg.framework.remat,
+        backend=cfg.framework.sparse_backend,
     )

@@ -30,6 +30,7 @@ from ..config.schema import (
     SparseEventIDConfig,
 )
 from ..ops import SparseTensor, build_submanifold_rulebook, submanifold_conv
+from ..ops.engine import apply_submanifold, build_series_plan
 from .blocks import (
     ConvolutionDownsample,
     PoolingDownsample,
@@ -66,6 +67,7 @@ class Encoder(nn.Module):
     capacities: Tuple[int, ...] = ()
     axis_name: str | None = None
     remat: bool = False  # jax.checkpoint each block series (HBM for FLOPs)
+    backend: str = "xla"  # sparse conv engine (ops/engine.py)
 
     def _kernel(self, k: int) -> Tuple[int, ...]:
         if self.dimension == 2:
@@ -83,16 +85,19 @@ class Encoder(nn.Module):
         caps = self.capacities or (None,) * (p.depth + 1)
 
         # Initial 5^d submanifold convolution (resnet.py:30-50)
-        rb = build_submanifold_rulebook(st, self._kernel(5))
+        k5 = 1
+        for kk in self._kernel(5):
+            k5 *= kk
+        rb = build_series_plan(st, self._kernel(5), backend=self.backend)
         w0 = self.param(
-            "initial_w", conv_init, (rb.num_offsets, st.num_channels, p.n_initial_filters)
+            "initial_w", conv_init, (k5, st.num_channels, p.n_initial_filters)
         )
         b0 = (
             self.param("initial_b", nn.initializers.zeros, (p.n_initial_filters,))
             if p.bias
             else None
         )
-        st = submanifold_conv(st, rb, w0, b0)
+        st = apply_submanifold(st, rb, w0, b0)
 
         filters = p.n_initial_filters
         block_kernel = self._kernel(p.filter_size)
@@ -107,7 +112,7 @@ class Encoder(nn.Module):
             else SparseBlockSeries
         )
         for i in range(p.depth):
-            rb = build_submanifold_rulebook(st, block_kernel)
+            rb = build_series_plan(st, block_kernel, backend=self.backend)
             st = series_cls(
                 p.blocks_per_layer, p, axis_name=self.axis_name, name=f"series_{i}"
             )(st, rb, train)
@@ -121,11 +126,12 @@ class Encoder(nn.Module):
                 p,
                 out_capacity=caps[i + 1],
                 axis_name=self.axis_name,
+                backend=self.backend,
                 name=f"down_{i}",
             )(st, train)
             filters = next_filters
 
-        rb = build_submanifold_rulebook(st, block_kernel)
+        rb = build_series_plan(st, block_kernel, backend=self.backend)
         st = series_cls(
             p.blocks_per_layer, p, axis_name=self.axis_name, name="final_series"
         )(st, rb, train)

@@ -1,0 +1,84 @@
+"""Backend dispatch for the sparse conv engine.
+
+Two numerically interchangeable backends:
+  * 'xla'    — searchsorted rulebooks + XLA dynamic gathers (reference
+               implementation; exact; runs anywhere; slow on TPU).
+  * 'window' — sorted-window implicit-GEMM Pallas kernels (primary TPU
+               path; exact via the anchor/overflow construction; runs in
+               interpret mode on CPU).
+
+Models call these functions with an opaque ``plan`` object whose type
+selects the backend.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+
+from .conv import strided_conv, submanifold_conv
+from .rulebook import (
+    Rulebook,
+    build_downsample_rulebook,
+    build_submanifold_rulebook,
+    downsample_sites,
+)
+from .sparse_tensor import SparseTensor
+from .pallas.window_engine import (
+    WindowPlan,
+    build_strided_window_plans,
+    build_submanifold_window_plan,
+    window_strided_conv,
+    window_submanifold_conv,
+)
+
+XLA = "xla"
+WINDOW = "window"
+
+
+def _interpret() -> bool:
+    # Pallas compiles only on TPU; interpret elsewhere (tests, CPU dryruns).
+    return jax.default_backend() != "tpu"
+
+
+def build_series_plan(st: SparseTensor, kernel_size, backend: str = XLA):
+    if backend == WINDOW:
+        return build_submanifold_window_plan(
+            st, kernel_size, interpret=_interpret()
+        )
+    return build_submanifold_rulebook(st, kernel_size)
+
+
+def apply_submanifold(st: SparseTensor, plan, w, bias=None) -> SparseTensor:
+    if isinstance(plan, WindowPlan):
+        return window_submanifold_conv(
+            st, plan, w, bias, interpret=_interpret()
+        )
+    return submanifold_conv(st, plan, w, bias)
+
+
+def build_downsample_plan(
+    st: SparseTensor,
+    stride: Sequence[int],
+    out_capacity: int | None = None,
+    backend: str = XLA,
+) -> Tuple[SparseTensor, object]:
+    skeleton = downsample_sites(st, stride, out_capacity)
+    if backend == WINDOW:
+        plans = build_strided_window_plans(
+            st, skeleton, stride, interpret=_interpret()
+        )
+        return skeleton, plans
+    return skeleton, build_downsample_rulebook(st, skeleton, stride)
+
+
+def apply_strided(
+    st: SparseTensor, skeleton: SparseTensor, plan, w
+) -> SparseTensor:
+    if isinstance(plan, tuple) and isinstance(plan[0], WindowPlan):
+        fwd, rev = plan
+        return window_strided_conv(
+            st, skeleton, fwd, rev, w, interpret=_interpret()
+        )
+    return strided_conv(st, skeleton, plan, w)

@@ -144,20 +144,17 @@ def build_submanifold_rulebook(
     )
 
 
-def build_downsample(
+def downsample_sites(
     st: SparseTensor,
     stride: Sequence[int],
     out_capacity: int | None = None,
-) -> Tuple[SparseTensor, Rulebook]:
-    """New site set + rulebook for a strided conv (filter == stride).
-
-    Output sites = unique(coords // stride) on a grid of ceil(grid/stride)
-    (scn.Convolution semantics, sparse_building_blocks.py:103-139).  Output
-    capacity defaults to the input capacity; if the unique count overflows it,
-    the highest-key sites are dropped (the reference's C++ filler silently
-    truncates at MaxVoxels too — SURVEY.md §7.4 item 1).
-
-    Returns (skeleton SparseTensor with zero feats [B, Nout, 0], rulebook).
+) -> SparseTensor:
+    """New site set for a strided conv: unique(coords // stride) on a grid of
+    ceil(grid/stride) (scn.Convolution semantics,
+    sparse_building_blocks.py:103-139).  Output capacity defaults to the
+    input capacity; if the unique count overflows, the highest-key sites are
+    dropped (the reference's C++ filler silently truncates at MaxVoxels too —
+    SURVEY.md §7.4 item 1).  Returns a skeleton with zero-width feats.
     """
     stride = tuple(int(s) for s in stride)
     new_grid = tuple(-(-g // s) for g, s in zip(st.grid_shape, stride))
@@ -181,15 +178,26 @@ def build_downsample(
 
     out_keys, n_out = jax.vmap(unique_one)(child_keys)
     out_coords = unlinearize(out_keys, new_grid)
+    return SparseTensor(
+        coords=out_coords,
+        feats=jnp.zeros((st.coords.shape[0], n_out_cap, 0), dtype=st.feats.dtype),
+        n_active=n_out,
+        grid_shape=new_grid,
+    )
 
-    # Rulebook: out_site * stride + delta, delta in prod(stride) cube, looked
-    # up against the PARENT keys.
+
+def build_downsample_rulebook(
+    st: SparseTensor, skeleton: SparseTensor, stride: Sequence[int]
+) -> Rulebook:
+    """Gather table: out_site * stride + delta looked up in the parent keys."""
+    stride = tuple(int(s) for s in stride)
     offs = kernel_offsets(stride, centered=False)
     k = offs.shape[0]
     b = st.coords.shape[0]
-    out_mask = jnp.arange(n_out_cap, dtype=jnp.int32)[None, :] < n_out[:, None]
+    n_out_cap = skeleton.capacity
+    out_mask = skeleton.row_mask()
     q = (
-        out_coords[:, :, None, :] * jnp.asarray(stride, jnp.int32)
+        skeleton.coords[:, :, None, :] * jnp.asarray(stride, jnp.int32)
         + jnp.asarray(offs, jnp.int32)[None, None, :, :]
     )
     in_bounds = jnp.all(
@@ -198,19 +206,21 @@ def build_downsample(
     qk = linearize(q, st.grid_shape)
     qk = jnp.where(in_bounds & out_mask[:, :, None], qk, INVALID_KEY)
     idx, hit = _lookup(st.keys(), qk.reshape(b, n_out_cap * k))
-
-    skeleton = SparseTensor(
-        coords=out_coords,
-        feats=jnp.zeros((b, n_out_cap, 0), dtype=st.feats.dtype),
-        n_active=n_out,
-        grid_shape=new_grid,
-    )
-    rb = Rulebook(
+    return Rulebook(
         idx.reshape(b, n_out_cap, k),
         hit.reshape(b, n_out_cap, k),
         offsets=tuple(map(tuple, offs.tolist())),
     )
-    return skeleton, rb
+
+
+def build_downsample(
+    st: SparseTensor,
+    stride: Sequence[int],
+    out_capacity: int | None = None,
+) -> Tuple[SparseTensor, Rulebook]:
+    """Site set + rulebook for a strided conv (filter == stride)."""
+    skeleton = downsample_sites(st, stride, out_capacity)
+    return skeleton, build_downsample_rulebook(st, skeleton, stride)
 
 
 def build_upsample(
