@@ -168,6 +168,8 @@ def _conv_kernel(
     w_ref,  # [KC_pad, CO] VMEM
     out_ref,  # [1, T, CO] VMEM
     g_scratch,  # [T, KC_pad] VMEM
+    sk_scratch,  # [K, R] i32 VMEM (staged window keys)
+    s_scratch,  # [K, R, C] VMEM (staged window tables)
     *,
     k: int,
     c: int,
@@ -176,17 +178,22 @@ def _conv_kernel(
     tile = pl.program_id(1)
     if kc_pad > k * c:
         g_scratch[:, k * c :] = jnp.zeros_like(g_scratch[:, k * c :])
+    # Stage all K windows, then TWO batched MXU ops instead of 27 small ones.
     for kk in range(k):
         start = pl.multiple_of(start_ref[0, tile, kk], ANCHOR_A)
-        wk = keys_ref[0, 0, pl.ds(start, WINDOW_R)]  # [R]
-        wt = table_ref[0, pl.ds(start, WINDOW_R), :]  # [R, C]
-        q = qk_ref[0, :, kk]  # [T]
-        onehot = (q[:, None] == wk[None, :]).astype(wt.dtype)  # [T, R]
-        g_scratch[:, kk * c : (kk + 1) * c] = jax.lax.dot_general(
-            onehot, wt,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(g_scratch.dtype)
+        sk_scratch[kk] = keys_ref[0, 0, pl.ds(start, WINDOW_R)]
+        s_scratch[kk] = table_ref[0, pl.ds(start, WINDOW_R), :]
+    q = qk_ref[0]  # [T, K]
+    onehot = (
+        q.transpose(1, 0)[:, :, None] == sk_scratch[:][:, None, :]
+    ).astype(s_scratch.dtype)  # [K, T, R]
+    gkt = jax.lax.dot_general(  # [K, T, C]
+        onehot, s_scratch[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(g_scratch.dtype)
+    for kk in range(k):  # flat layout for the single big GEMM
+        g_scratch[:, kk * c : (kk + 1) * c] = gkt[kk]
     out_ref[0] = jax.lax.dot_general(
         g_scratch[:], w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -195,21 +202,26 @@ def _conv_kernel(
 
 
 def _gather_kernel(
-    keys_ref, table_ref, qk_ref, start_ref, g_ref, *, k: int, c: int
+    keys_ref, table_ref, qk_ref, start_ref, g_ref, sk_scratch, s_scratch,
+    *, k: int, c: int
 ):
     """Variant emitting the gathered matrix g [T, K*C] (for dW)."""
     tile = pl.program_id(1)
     for kk in range(k):
         start = pl.multiple_of(start_ref[0, tile, kk], ANCHOR_A)
-        wk = keys_ref[0, 0, pl.ds(start, WINDOW_R)]
-        wt = table_ref[0, pl.ds(start, WINDOW_R), :]
-        q = qk_ref[0, :, kk]
-        onehot = (q[:, None] == wk[None, :]).astype(wt.dtype)
-        g_ref[0, :, kk * c : (kk + 1) * c] = jax.lax.dot_general(
-            onehot, wt,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(g_ref.dtype)
+        sk_scratch[kk] = keys_ref[0, 0, pl.ds(start, WINDOW_R)]
+        s_scratch[kk] = table_ref[0, pl.ds(start, WINDOW_R), :]
+    q = qk_ref[0]  # [T, K]
+    onehot = (
+        q.transpose(1, 0)[:, :, None] == sk_scratch[:][:, None, :]
+    ).astype(s_scratch.dtype)  # [K, T, R]
+    gkt = jax.lax.dot_general(
+        onehot, s_scratch[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(g_ref.dtype)
+    for kk in range(k):
+        g_ref[0, :, kk * c : (kk + 1) * c] = gkt[kk]
 
 
 def window_conv_apply(
@@ -250,7 +262,11 @@ def window_conv_apply(
         out_specs=pl.BlockSpec((1, TILE_T, co), lambda bb, i: (bb, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE_T, co), feats.dtype),
-        scratch_shapes=[pltpu.VMEM((TILE_T, kc_pad), feats.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((TILE_T, kc_pad), feats.dtype),
+            pltpu.VMEM((k, WINDOW_R), jnp.int32),
+            pltpu.VMEM((k, WINDOW_R, c), feats.dtype),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -290,6 +306,10 @@ def window_gather(
         out_specs=pl.BlockSpec((1, TILE_T, k * c), lambda bb, i: (bb, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE_T, k * c), feats.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((k, WINDOW_R), jnp.int32),
+            pltpu.VMEM((k, WINDOW_R, c), feats.dtype),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
