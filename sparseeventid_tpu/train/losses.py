@@ -98,7 +98,8 @@ def nt_xent_loss(
         z2 = jax.lax.all_gather(z2, axis_name).reshape(-1, z2.shape[-1])
     n = z1.shape[0]
     z = jnp.concatenate([z1, z2], axis=0)  # [2N, D]
-    z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-9)
+    # smooth normalization: grad finite at z=0 (empty-event views)
+    z = z * jax.lax.rsqrt(jnp.sum(z * z, axis=-1, keepdims=True) + 1e-12)
     sim = z @ z.T / temperature  # [2N, 2N]
     mask_self = jnp.eye(2 * n, dtype=bool)
     sim = jnp.where(mask_self, -1e9, sim)
@@ -117,7 +118,7 @@ def nt_xent_top_k_accuracy(
     (representation_learning.py:227-244)."""
     n = z1.shape[0]
     z = jnp.concatenate([z1, z2], axis=0)
-    z = z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-9)
+    z = z * jax.lax.rsqrt(jnp.sum(z * z, axis=-1, keepdims=True) + 1e-12)
     sim = z @ z.T / temperature
     sim = jnp.where(jnp.eye(2 * n, dtype=bool), -1e9, sim)
     pos_idx = jnp.concatenate([jnp.arange(n) + n, jnp.arange(n)])

@@ -72,6 +72,11 @@ class Trainer:
 
         self.image_shape = image_size(cfg)
         self.datasets = self._build_datasets()
+        # file-backed datasets carry their own meta (reference reads
+        # image_size from the dataset, supervised_eventID.py:215-217)
+        first = next(iter(self.datasets.values()))
+        if hasattr(first, "image_size"):
+            self.image_shape = tuple(first.image_size())
         self.loaders: Dict[str, BatchLoader] = {}
         self.axis_name = DATA_AXIS if cfg.run.distributed else None
         self.mesh = make_mesh() if cfg.run.distributed else None
@@ -91,7 +96,8 @@ class Trainer:
         datasets = {}
         active = cfg.data.active or ("train",)
         for split in active:
-            if cfg.data.detector == Detector.synthetic:
+            path = getattr(cfg.data, split if split != "val" else "val")
+            if cfg.data.detector == Detector.synthetic and not path:
                 datasets[split] = SyntheticDataset(
                     cfg.data.synthetic_events,
                     SyntheticEventConfig(
@@ -104,7 +110,6 @@ class Trainer:
             else:
                 from ..io.larcv import LarcvDataset
 
-                path = getattr(cfg.data, split if split != "val" else "val")
                 datasets[split] = LarcvDataset(
                     path,
                     image_key=cfg.data.image_key,
@@ -219,6 +224,11 @@ class Trainer:
     # ----------------------------------------------------------------- modes
     def train(self):
         cfg = self.cfg
+        if cfg.run.profile:
+            # run.profile=true -> jax.profiler trace for TensorBoard
+            # (reference: profiler="simple" / autograd chrome traces,
+            # create_trainer.py:29-33, torch/trainer.py:314-352)
+            jax.profiler.start_trace(str(self.output_dir / "profile"))
         state, train_step, eval_step, n_steps = self._build_training()
         loader = self._loader("train")
         val_loader = self._loader("val") if "val" in self.datasets else None
@@ -258,6 +268,8 @@ class Trainer:
                 self.ckpt.save(state, int(state.step))
         if jax.process_index() == 0:
             self.ckpt.save(state, int(state.step))
+        if cfg.run.profile:
+            jax.profiler.stop_trace()
         self.writer.flush()
         self._shutdown()
         return state
