@@ -223,26 +223,33 @@ class LarcvDataset:
     def batch(self, indices) -> Dict[str, np.ndarray]:
         b = len(indices)
         d = len(self._grid)
-        if self.dimension == 2:
-            image = np.full(
-                (b, self.n_projections, self.max_voxels, d + 1), -999.0, np.float32
+        if self.dimension == 3:
+            # native threaded assembly (io/_hostio.cpp) with numpy fallback
+            from .hostio import assemble_sparse_batch
+
+            events = [
+                (ids.astype(np.uint64), vals)
+                for idx in indices
+                for ids, vals in self._event_voxels(int(idx))[:1]
+            ]
+            image = assemble_sparse_batch(
+                events, self.max_voxels, self._grid, normalize=self.normalize
             )
         else:
-            image = np.full((b, self.max_voxels, d + 1), -999.0, np.float32)
-        for i, idx in enumerate(indices):
-            projections = self._event_voxels(int(idx))
-            for p, (ids, vals) in enumerate(projections):
-                if self.normalize and len(vals) > 1:
-                    mu, sd = vals.mean(), vals.std() + 1e-6
-                    vals = (vals - mu) / sd * 0.5 + 1.0  # Normalize: mean 1, std .5
-                k = min(len(ids), self.max_voxels)
-                coords = self._unravel(ids[:k])
-                if self.dimension == 2:
+            image = np.full(
+                (b, self.n_projections, self.max_voxels, d + 1), -999.0,
+                np.float32,
+            )
+            for i, idx in enumerate(indices):
+                projections = self._event_voxels(int(idx))
+                for p, (ids, vals) in enumerate(projections):
+                    if self.normalize and len(vals) > 1:
+                        mu, sd = vals.mean(), vals.std() + 1e-6
+                        vals = (vals - mu) / sd * 0.5 + 1.0
+                    k = min(len(ids), self.max_voxels)
+                    coords = self._unravel(ids[:k])
                     image[i, p, :k, :d] = coords
                     image[i, p, :k, d] = vals[:k]
-                else:
-                    image[i, :k, :d] = coords
-                    image[i, :k, d] = vals[:k]
         out = {"image": image}
         for key, arr in self.labels.items():
             out[key] = arr[np.asarray(indices, np.int64)]
