@@ -1,6 +1,7 @@
 """Model assembly — equivalent of build_networks
 (/root/reference/src/networks/classification_head.py:30-55): encoder + per-
-label heads, selected by framework mode (sparse / dense / graph)."""
+label heads, selected by framework mode (sparse / dense / graph) and encoder
+family (convnet / pointnet / dgcnn)."""
 
 from __future__ import annotations
 
@@ -80,3 +81,61 @@ def build_sparse_classifier(
         remat=cfg.framework.remat,
         backend=cfg.framework.sparse_backend,
     )
+
+
+class PointCloudWrapper(nn.Module):
+    """Uniform __call__(batch, train) signature for point-cloud models:
+    batch = (points [.., P, F], mask [.., P])."""
+
+    inner: nn.Module
+
+    @nn.compact
+    def __call__(self, batch, train: bool = True):
+        pts, mask = batch
+        return self.inner(pts, mask, train)
+
+
+def build_model(cfg: SparseEventIDConfig, axis_name: str | None = None):
+    """(model, input_mode) with input_mode in {sparse, dense, points}.
+
+    Selection mirrors the reference: framework.mode picks sparse/dense/graph
+    for conv encoders (resnet.py:170-182); pointnet/dgcnn encoder configs
+    pick the point-cloud family (legacy src/networks/torch/{pointnet,dgcnn}).
+    """
+    from ..config.schema import (
+        DataMode,
+        DGCNNRepresentation,
+        PointNetRepresentation,
+    )
+
+    enc = cfg.encoder
+    if isinstance(enc, PointNetRepresentation):
+        inner = __import__(
+            "sparseeventid_tpu.models.pointnet", fromlist=["PointNetClassifier"]
+        ).PointNetClassifier(
+            OUTPUT_SHAPE, use_tnet=enc.tnet,
+            head_hidden=cfg.head.hidden, dropout=cfg.head.dropout,
+        )
+        return PointCloudWrapper(inner), "points"
+    if isinstance(enc, DGCNNRepresentation):
+        inner = __import__(
+            "sparseeventid_tpu.models.dgcnn", fromlist=["DGCNNClassifier"]
+        ).DGCNNClassifier(
+            OUTPUT_SHAPE, k=enc.k, emb_dims=enc.emb_dims,
+            head_hidden=cfg.head.hidden, dropout=cfg.head.dropout,
+        )
+        return PointCloudWrapper(inner), "points"
+    if cfg.framework.mode == DataMode.dense:
+        from .dense import DenseEventClassifier
+
+        return (
+            DenseEventClassifier(
+                enc, OUTPUT_SHAPE, dimension=cfg.data.dimension,
+                head_hidden=cfg.head.hidden, head_dropout=cfg.head.dropout,
+            ),
+            "dense",
+        )
+    # sparse (default) and graph both ride the sparse engine; the reference
+    # graph mode (mpnn) does not exist upstream — DGCNN covers graph-style
+    # modeling via encoder=dgcnn.
+    return build_sparse_classifier(cfg, axis_name=axis_name), "sparse"

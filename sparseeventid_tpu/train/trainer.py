@@ -35,6 +35,7 @@ from ..io.dataset import BatchLoader
 from ..io.synthetic import SyntheticDataset, SyntheticEventConfig
 from ..io.transforms import larcv_batch_to_sparse_2d, larcv_batch_to_sparse_3d
 from ..models import build_sparse_classifier
+from ..models.build import build_model
 from ..parallel import (
     DATA_AXIS,
     make_dp_eval_step,
@@ -83,7 +84,7 @@ class Trainer:
         self.writer = SummaryWriter(self.output_dir / "tb")
         self.ckpt = CheckpointManager(self.output_dir / "checkpoints", keep=5)
 
-        self.model = build_sparse_classifier(cfg, axis_name=self.axis_name)
+        self.model, self.input_mode = build_model(cfg, axis_name=self.axis_name)
         self._batch_dtype = (
             jnp.bfloat16
             if cfg.run.precision in (Precision.bfloat16, Precision.mixed)
@@ -132,21 +133,41 @@ class Trainer:
         return self.loaders[split]
 
     def _to_device(self, batch: Dict):
-        if self.cfg.data.dimension == 2:
-            st = larcv_batch_to_sparse_2d(batch["image"], self.image_shape)
+        if self.input_mode == "points":
+            from ..io.transforms import larcv_batch_to_pointcloud
+
+            pts, mask = larcv_batch_to_pointcloud(
+                batch["image"], max_points=getattr(
+                    self.cfg.encoder, "max_points", 2048
+                )
+            )
+            x = (jnp.asarray(pts, self._batch_dtype), jnp.asarray(mask))
+        elif self.input_mode == "dense":
+            from ..io.transforms import larcv_batch_to_dense
+
+            x = jnp.asarray(
+                larcv_batch_to_dense(batch["image"], self.image_shape),
+                self._batch_dtype,
+            )
+        elif self.cfg.data.dimension == 2:
+            x = larcv_batch_to_sparse_2d(batch["image"], self.image_shape)
         else:
-            st = larcv_batch_to_sparse_3d(batch["image"], self.image_shape)
-        if self._batch_dtype != jnp.float32:
-            st = st.with_feats(st.feats.astype(self._batch_dtype))
+            x = larcv_batch_to_sparse_3d(batch["image"], self.image_shape)
+        if self.input_mode == "sparse" and self._batch_dtype != jnp.float32:
+            x = x.with_feats(x.feats.astype(self._batch_dtype))
         labels = {k: jnp.asarray(batch[k]) for k in OUTPUT_SHAPE if k in batch}
         if self.mesh is not None:
-            st, labels = shard_batch(self.mesh, (st, labels))
-        return st, labels
+            x, labels = shard_batch(self.mesh, (x, labels))
+        return x, labels
 
     # ----------------------------------------------------------------- build
     def _build_training(self) -> Tuple:
         cfg = self.cfg
-        opt_cfg = cfg.mode.optimizer
+        # inference/iotest modes carry no optimizer config (mode.py:31-41);
+        # use defaults for state construction
+        from ..config.schema import OptimizerConfig
+
+        opt_cfg = getattr(cfg.mode, "optimizer", None) or OptimizerConfig()
         epoch_length = len(self._loader("train"))
         total_epochs = max(cfg.run.length, 1)
         lr_schedule = build_lr_schedule(
@@ -160,7 +181,7 @@ class Trainer:
         # init with an axis-free twin (sync-BN psum needs the mesh context;
         # identical param structure)
         init_model = (
-            build_sparse_classifier(cfg) if self.axis_name else self.model
+            build_model(cfg)[0] if self.axis_name else self.model
         )
         init = jax.jit(init_model.init, static_argnums=(2,))
         variables = init(jax.random.PRNGKey(cfg.run.seed), st0, True)
