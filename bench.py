@@ -49,12 +49,16 @@ def main():
         make_train_step,
     )
 
+    import os
+
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
     cfg = load_config(
         "dune3d",
         [
             f"run.minibatch_size={BATCH}",
             "run.precision=bfloat16",
             "run.distributed=false",
+            f"framework.remat={'true' if remat else 'false'}",
         ],
     )
     import dataclasses

@@ -356,4 +356,7 @@ OUTPUT_SHAPE = {
 
 
 def image_size(cfg: SparseEventIDConfig) -> Tuple[int, ...]:
+    if cfg.data.detector == Detector.synthetic and cfg.data.dimension == 2:
+        # 2D multiplane synthetic: plane axis first (resnet.py:26-36 trick)
+        return (3, 64, 64)
     return tuple(DETECTOR_META[cfg.data.detector]["image_size"])

@@ -26,6 +26,7 @@ from ..config.schema import OUTPUT_SHAPE
 @dataclasses.dataclass
 class SyntheticEventConfig:
     image_size: Tuple[int, ...] = (64, 64, 64)
+    n_planes: int = 1  # >1 -> 2D multiplane projections [B,P,MaxVoxels,3]
     max_voxels: int = 2048
     mean_tracks: float = 3.0
     steps_per_track: int = 200
@@ -124,12 +125,37 @@ class SyntheticDataset:
         return generate_event(rng, self.cfg)
 
     def batch(self, indices) -> Dict[str, np.ndarray]:
-        """Padded larcv-style batch dict: image [B, MaxVoxels, D+1] with -999
-        fill (coords..., value) + int label arrays."""
+        """Padded larcv-style batch dict: image [B, MaxVoxels, D+1] (3D) or
+        [B, planes, MaxVoxels, 3] (2D multiplane projections of the 3D
+        event, mirroring BatchFillerSparseTensor2D) with -999 fill + int
+        label arrays."""
         b = len(indices)
         d = len(self.cfg.image_size)
-        image = np.full((b, self.cfg.max_voxels, d + 1), -999.0, np.float32)
         labels = {k: np.zeros(b, np.int32) for k in OUTPUT_SHAPE}
+        if self.cfg.n_planes > 1:
+            p = self.cfg.n_planes
+            image = np.full((b, p, self.cfg.max_voxels, 3), -999.0, np.float32)
+            for i, idx in enumerate(indices):
+                coords, vals, labs = self.event(int(idx))
+                for pl in range(p):
+                    # project out axis pl%d -> a 2D wire-plane view
+                    keep = [a for a in range(d) if a != (pl % d)]
+                    c2 = coords[:, keep]
+                    # dedup projected pixels, summing charge
+                    lin = c2[:, 0].astype(np.int64) * 4096 + c2[:, 1]
+                    uniq, inv = np.unique(lin, return_inverse=True)
+                    summed = np.zeros(len(uniq), np.float32)
+                    np.add.at(summed, inv, vals)
+                    c2u = np.stack([uniq // 4096, uniq % 4096], -1)
+                    n = min(len(c2u), self.cfg.max_voxels)
+                    image[i, pl, :n, :2] = c2u[:n]
+                    image[i, pl, :n, 2] = summed[:n]
+                for k, v in labs.items():
+                    labels[k][i] = v
+            out = {"image": image}
+            out.update(labels)
+            return out
+        image = np.full((b, self.cfg.max_voxels, d + 1), -999.0, np.float32)
         for i, idx in enumerate(indices):
             coords, vals, labs = self.event(int(idx))
             n = len(coords)

@@ -92,7 +92,7 @@ def _compact_overflow(
 def build_submanifold_window_plan(
     st: SparseTensor,
     kernel_size,
-    overflow_cap: int = 4096,
+    overflow_cap: int = 2048,
     interpret: bool = False,
 ) -> WindowPlan:
     """Plan for a submanifold conv (output sites == input sites)."""

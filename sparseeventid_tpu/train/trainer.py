@@ -99,10 +99,19 @@ class Trainer:
         for split in active:
             path = getattr(cfg.data, split if split != "val" else "val")
             if cfg.data.detector == Detector.synthetic and not path:
+                if cfg.data.dimension == 2:
+                    # plane-axis meta (planes, H, W): generate 3D tracks on
+                    # (H, W, W) and project per plane
+                    gen_size = (self.image_shape[1],) + self.image_shape[1:]
+                    planes = self.image_shape[0]
+                else:
+                    gen_size = self.image_shape
+                    planes = 1
                 datasets[split] = SyntheticDataset(
                     cfg.data.synthetic_events,
                     SyntheticEventConfig(
-                        image_size=self.image_shape,
+                        image_size=gen_size,
+                        n_planes=planes,
                         max_voxels=cfg.data.max_voxels,
                         normalize=cfg.data.normalize,
                     ),
