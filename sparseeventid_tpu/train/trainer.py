@@ -332,10 +332,19 @@ class Trainer:
         }
         logger.info(f"validation over {n_batches} batches: {mean}")
         if getattr(cfg.mode, "output_file", ""):
-            np.savez(
-                cfg.mode.output_file,
-                **{k: np.concatenate(v) for k, v in outputs.items()},
-            )
+            merged = {k: np.concatenate(v) for k, v in outputs.items()}
+            if str(cfg.mode.output_file).endswith(".h5"):
+                # write per-event softmax back in larcv style (legacy
+                # ana_step parity, torch_inference.py:719-776)
+                import h5py
+
+                with h5py.File(cfg.mode.output_file, "w") as f:
+                    g = f.require_group("Data")
+                    for k, arr in merged.items():
+                        gg = g.create_group(f"softmax_{k}_group")
+                        gg.create_dataset("scores", data=arr)
+            else:
+                np.savez(cfg.mode.output_file, **merged)
             logger.info(f"wrote softmax outputs to {cfg.mode.output_file}")
         self._shutdown()
         return mean
