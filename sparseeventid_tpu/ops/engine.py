@@ -42,10 +42,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _overflow_cap(capacity: int) -> int:
+    """Overflow sidecar capacity scaled to the level's voxel capacity
+    (measured out-of-window rates are <0.1% of pairs)."""
+    return max(256, min(2048, capacity // 16))
+
+
 def build_series_plan(st: SparseTensor, kernel_size, backend: str = XLA):
     if backend == WINDOW:
         return build_submanifold_window_plan(
-            st, kernel_size, interpret=_interpret()
+            st, kernel_size, overflow_cap=_overflow_cap(st.capacity),
+            interpret=_interpret(),
         )
     return build_submanifold_rulebook(st, kernel_size)
 
@@ -67,7 +74,8 @@ def build_downsample_plan(
     skeleton = downsample_sites(st, stride, out_capacity)
     if backend == WINDOW:
         plans = build_strided_window_plans(
-            st, skeleton, stride, interpret=_interpret()
+            st, skeleton, stride, overflow_cap=_overflow_cap(st.capacity),
+            interpret=_interpret(),
         )
         return skeleton, plans
     return skeleton, build_downsample_rulebook(st, skeleton, stride)
