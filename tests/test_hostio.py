@@ -1,0 +1,64 @@
+"""Host IO assembly: numpy path semantics + native/numpy parity when built."""
+
+import numpy as np
+import pytest
+
+from sparseeventid_tpu.io.hostio import (
+    HAVE_NATIVE,
+    _assemble_numpy,
+    assemble_sparse_batch,
+)
+
+
+def make_events(n_events=4, n=300, grid=(32, 32, 32), seed=0):
+    rng = np.random.default_rng(seed)
+    total = int(np.prod(grid))
+    return [
+        (
+            rng.choice(total, n, replace=False).astype(np.uint64),
+            np.abs(rng.standard_normal(n)).astype(np.float32) + 0.1,
+        )
+        for _ in range(n_events)
+    ]
+
+
+def test_numpy_assembly_contract():
+    events = make_events()
+    out = _assemble_numpy(events, 512, (32, 32, 32), True, False, 0.0, None, 0)
+    assert out.shape == (4, 512, 4)
+    valid = np.all(out[0, :, :3] != -999.0, axis=-1)
+    assert valid.sum() == 300
+    vals = out[0][valid][:, 3]
+    assert abs(vals.mean() - 1.0) < 1e-3 and abs(vals.std() - 0.5) < 1e-3
+    # coords decode row-major
+    ids0 = np.asarray(events[0][0], np.int64)
+    c = out[0][valid][:, :3].astype(np.int64)
+    lin = (c[:, 0] * 32 + c[:, 1]) * 32 + c[:, 2]
+    np.testing.assert_array_equal(np.sort(lin), np.sort(ids0))
+
+
+def test_truncation_at_max_voxels():
+    events = make_events(n_events=1, n=300)
+    out = _assemble_numpy(events, 100, (32, 32, 32), False, False, 0.0, None, 0)
+    valid = np.all(out[0, :, :3] != -999.0, axis=-1)
+    assert valid.sum() == 100
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_native_matches_numpy():
+    events = make_events(seed=3)
+    a = assemble_sparse_batch(events, 512, (32, 32, 32), normalize=True)
+    b = _assemble_numpy(events, 512, (32, 32, 32), True, False, 0.0, None, 0)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_native_augment_deterministic_and_bounded():
+    events = make_events(n_events=2, seed=4)
+    kw = dict(normalize=False, augment=True, translate=[4, 4, 4], seed=11)
+    a1 = assemble_sparse_batch(events, 512, (32, 32, 32), **kw)
+    a2 = assemble_sparse_batch(events, 512, (32, 32, 32), **kw)
+    np.testing.assert_array_equal(a1, a2)
+    valid = np.all(a1[..., :3] != -999.0, axis=-1)
+    c = a1[valid][:, :3]
+    assert c.min() >= 0 and c.max() < 32
