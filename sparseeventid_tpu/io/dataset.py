@@ -52,6 +52,11 @@ class BatchLoader:
         self.indices = shard
         self.rng = np.random.default_rng(seed if seed >= 0 else None)
         self._cursor = start_index % max(len(shard), 1)
+        # epoch permutation for random_events: every event is seen exactly
+        # once per pass (larcv random_events epoch semantics; r1 drew with
+        # rng.choice per batch, which repeats events within an epoch)
+        self._perm: Optional[np.ndarray] = None
+        self._perm_pos = 0
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -79,9 +84,23 @@ class BatchLoader:
                     for i in range(self.batch_size)
                 ]
             )
-        return self.rng.choice(self.indices, self.batch_size, replace=False) \
-            if len(self.indices) >= self.batch_size else \
-            self.rng.choice(self.indices, self.batch_size, replace=True)
+        # random_events: consume a fresh per-epoch permutation (batches may
+        # straddle the epoch boundary when n % batch_size != 0)
+        out = np.empty(self.batch_size, dtype=self.indices.dtype)
+        filled = 0
+        while filled < self.batch_size:
+            if self._perm is None or self._perm_pos >= len(self._perm):
+                self._perm = self.rng.permutation(self.indices)
+                self._perm_pos = 0
+            take = min(
+                self.batch_size - filled, len(self._perm) - self._perm_pos
+            )
+            out[filled : filled + take] = self._perm[
+                self._perm_pos : self._perm_pos + take
+            ]
+            self._perm_pos += take
+            filled += take
+        return out
 
     def _worker(self):
         while not self._stop.is_set():

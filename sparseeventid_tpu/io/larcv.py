@@ -248,7 +248,12 @@ class LarcvDataset:
                         vals = (vals - mu) / sd * 0.5 + 1.0
                     k = min(len(ids), self.max_voxels)
                     coords = self._unravel(ids[:k])
-                    image[i, p, :k, :d] = coords
+                    # BatchFiller2D stores (x, y, value): the row-major MAJOR
+                    # axis of the projection grid is y (reference scn coords
+                    # are [plane, y, x] against (planes,) + n_voxels —
+                    # data_transforms.py:242), so emit (minor, major).
+                    image[i, p, :k, 0] = coords[:, 1]
+                    image[i, p, :k, 1] = coords[:, 0]
                     image[i, p, :k, d] = vals[:k]
         out = {"image": image}
         for key, arr in self.labels.items():

@@ -148,7 +148,11 @@ class SyntheticDataset:
                     np.add.at(summed, inv, vals)
                     c2u = np.stack([uniq // 4096, uniq % 4096], -1)
                     n = min(len(c2u), self.cfg.max_voxels)
-                    image[i, pl, :n, :2] = c2u[:n]
+                    # larcv stores (x, y, value); the scn coordinate order is
+                    # [plane, y, x] (data_transforms.py:242), so the FIRST
+                    # projected axis is y and the SECOND is x here.
+                    image[i, pl, :n, 0] = c2u[:n, 1]
+                    image[i, pl, :n, 1] = c2u[:n, 0]
                     image[i, pl, :n, 2] = summed[:n]
                 for k, v in labs.items():
                     labels[k][i] = v

@@ -41,9 +41,11 @@ def larcv_batch_to_sparse_2d(
     """[B, planes, MaxVoxels, 3] (x, y, val) -> plane-axis 3D SparseTensor.
 
     The 2D multiplane encoding (data_transforms.py:198-252 + resnet.py:26-36):
-    plane index becomes coordinate 0 on a (n_planes, H, W) grid. The reference
-    coordinate order there is [plane, y, x] against spatial (3, 1536, 1024);
-    we map (first coord -> axis 1) consistently with the declared image_size.
+    plane index becomes coordinate 0 on a (n_planes, H, W) grid. The
+    reference's coordinate order is pinned at data_transforms.py:242:
+    ``numpy.stack([p, y, x, batch])`` from stored (x, y, value) — i.e. the
+    SECOND stored coordinate maps to spatial axis 1 and the FIRST to axis 2
+    (tests/test_io.py pins this contract).
     """
     b, planes, n, _ = image.shape
     xy = image[..., :2]
@@ -52,9 +54,18 @@ def larcv_batch_to_sparse_2d(
     plane_idx = np.broadcast_to(
         np.arange(planes, dtype=np.int32)[None, :, None], (b, planes, n)
     )
+    yx = xy[..., ::-1]  # stored (x, y) -> coords (y, x)
     coords3 = np.concatenate(
-        [plane_idx[..., None], xy.astype(np.int32)], axis=-1
+        [plane_idx[..., None], yx.astype(np.int32)], axis=-1
     )  # [B, P, N, 3]
+    # drop pixels outside the declared grid (matches scn's behavior of
+    # never creating out-of-spatial sites)
+    h, w = int(image_size[1]), int(image_size[2])
+    in_grid = (
+        (yx[..., 0] >= 0) & (yx[..., 0] < h)
+        & (yx[..., 1] >= 0) & (yx[..., 1] < w)
+    )
+    valid = valid & in_grid
     coords3 = np.where(valid[..., None], coords3, -1).reshape(b, planes * n, 3)
     feats = np.where(valid[..., None], vals, 0).astype(np.float32)
     feats = feats.reshape(b, planes * n, 1)

@@ -34,6 +34,7 @@ from ..ops.engine import (
     apply_strided,
     apply_submanifold,
     build_downsample_plan,
+    plan_overflow_dropped,
 )
 
 # He-style init over the (K, Cin) receptive field, the standard for
@@ -190,8 +191,14 @@ class ConvolutionDownsample(nn.Module):
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
-        skeleton, plan = build_downsample_plan(
+        skeleton, plan, ds_dropped = build_downsample_plan(
             st, self.stride, self.out_capacity, backend=self.backend
+        )
+        self.sow(
+            "diagnostics", "dropped",
+            jnp.sum(ds_dropped) + plan_overflow_dropped(plan),
+            reduce_fn=lambda a, b: a + b,
+            init_fn=lambda: jnp.zeros((), jnp.int32),
         )
         k = 1
         for sdim in self.stride:
@@ -219,7 +226,14 @@ class PoolingDownsample(nn.Module):
 
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
-        skeleton, rb = build_downsample(st, self.stride, self.out_capacity)
+        skeleton, rb, ds_dropped = build_downsample_plan(
+            st, self.stride, self.out_capacity, backend="xla"
+        )
+        self.sow(
+            "diagnostics", "dropped", jnp.sum(ds_dropped),
+            reduce_fn=lambda a, b: a + b,
+            init_fn=lambda: jnp.zeros((), jnp.int32),
+        )
         pooled = average_pool(st, skeleton, rb, self.stride)
         # 1x1 "filter update" block: K=1 pointwise conv
         w = self.param("w", conv_init, (1, st.num_channels, self.n_out))

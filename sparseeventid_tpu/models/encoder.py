@@ -30,7 +30,11 @@ from ..config.schema import (
     SparseEventIDConfig,
 )
 from ..ops import SparseTensor, build_submanifold_rulebook, submanifold_conv
-from ..ops.engine import apply_submanifold, build_series_plan
+from ..ops.engine import (
+    apply_submanifold,
+    build_series_plan,
+    plan_overflow_dropped,
+)
 from .blocks import (
     ConvolutionDownsample,
     PoolingDownsample,
@@ -79,6 +83,15 @@ class Encoder(nn.Module):
             return (1, 2, 2)
         return (2,) * self.dimension
 
+    def _sow_overflow(self, plan):
+        # Surface window-plan overflow drops as a train metric (never let
+        # the exact-sidecar cap corrupt accuracy silently).
+        self.sow(
+            "diagnostics", "dropped", plan_overflow_dropped(plan),
+            reduce_fn=lambda a, b: a + b,
+            init_fn=lambda: jnp.zeros((), jnp.int32),
+        )
+
     @nn.compact
     def __call__(self, st: SparseTensor, train: bool = True) -> SparseTensor:
         p = self.params
@@ -89,6 +102,7 @@ class Encoder(nn.Module):
         for kk in self._kernel(5):
             k5 *= kk
         rb = build_series_plan(st, self._kernel(5), backend=self.backend)
+        self._sow_overflow(rb)
         w0 = self.param(
             "initial_w", conv_init, (k5, st.num_channels, p.n_initial_filters)
         )
@@ -113,6 +127,7 @@ class Encoder(nn.Module):
         )
         for i in range(p.depth):
             rb = build_series_plan(st, block_kernel, backend=self.backend)
+            self._sow_overflow(rb)
             st = series_cls(
                 p.blocks_per_layer, p, axis_name=self.axis_name, name=f"series_{i}"
             )(st, rb, train)
@@ -132,6 +147,7 @@ class Encoder(nn.Module):
             filters = next_filters
 
         rb = build_series_plan(st, block_kernel, backend=self.backend)
+        self._sow_overflow(rb)
         st = series_cls(
             p.blocks_per_layer, p, axis_name=self.axis_name, name="final_series"
         )(st, rb, train)

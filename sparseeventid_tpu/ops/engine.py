@@ -70,15 +70,31 @@ def build_downsample_plan(
     stride: Sequence[int],
     out_capacity: int | None = None,
     backend: str = XLA,
-) -> Tuple[SparseTensor, object]:
-    skeleton = downsample_sites(st, stride, out_capacity)
+) -> Tuple[SparseTensor, object, jax.Array]:
+    """Returns (skeleton, plan, dropped) — ``dropped`` counts unique output
+    sites lost to the static capacity per event (never silent)."""
+    skeleton, dropped = downsample_sites(st, stride, out_capacity, with_dropped=True)
     if backend == WINDOW:
         plans = build_strided_window_plans(
             st, skeleton, stride, overflow_cap=_overflow_cap(st.capacity),
             interpret=_interpret(),
         )
-        return skeleton, plans
-    return skeleton, build_downsample_rulebook(st, skeleton, stride)
+        return skeleton, plans, dropped
+    return skeleton, build_downsample_rulebook(st, skeleton, stride), dropped
+
+
+def plan_overflow_dropped(plan) -> jax.Array:
+    """Total conv pairs lost to the static overflow-sidecar cap for a plan
+    (0 for XLA rulebooks, which are exact by construction). Surfaced as the
+    train metric ``overflow/dropped`` to guard against silent accuracy
+    corruption (window_engine.py WindowPlan.ov_dropped)."""
+    import jax.numpy as jnp
+
+    if isinstance(plan, WindowPlan):
+        return jnp.sum(plan.ov_dropped)
+    if isinstance(plan, tuple) and plan and isinstance(plan[0], WindowPlan):
+        return sum(jnp.sum(p.ov_dropped) for p in plan)
+    return jnp.zeros((), jnp.int32)
 
 
 def apply_strided(

@@ -148,13 +148,17 @@ def downsample_sites(
     st: SparseTensor,
     stride: Sequence[int],
     out_capacity: int | None = None,
-) -> SparseTensor:
+    with_dropped: bool = False,
+):
     """New site set for a strided conv: unique(coords // stride) on a grid of
     ceil(grid/stride) (scn.Convolution semantics,
     sparse_building_blocks.py:103-139).  Output capacity defaults to the
     input capacity; if the unique count overflows, the highest-key sites are
     dropped (the reference's C++ filler silently truncates at MaxVoxels too —
-    SURVEY.md §7.4 item 1).  Returns a skeleton with zero-width feats.
+    SURVEY.md §7.4 item 1).  Returns a skeleton with zero-width feats; with
+    ``with_dropped`` also the per-event count of unique sites lost to the
+    static capacity (surfaced as a train-step metric so truncation is never
+    silent — VERDICT r1 'What's weak' #4).
     """
     stride = tuple(int(s) for s in stride)
     new_grid = tuple(-(-g // s) for g, s in zip(st.grid_shape, stride))
@@ -173,17 +177,21 @@ def downsample_sites(
         slot = jnp.where(first, rank, n_out_cap)  # dropped if not-first or overflow
         out = jnp.full((n_out_cap,), INVALID_KEY, dtype=jnp.int32)
         out = out.at[slot].min(sk, mode="drop")
-        n = jnp.minimum(jnp.sum(first), n_out_cap).astype(jnp.int32)
-        return out, n
+        total = jnp.sum(first).astype(jnp.int32)
+        n = jnp.minimum(total, n_out_cap).astype(jnp.int32)
+        return out, n, jnp.maximum(total - n_out_cap, 0)
 
-    out_keys, n_out = jax.vmap(unique_one)(child_keys)
+    out_keys, n_out, dropped = jax.vmap(unique_one)(child_keys)
     out_coords = unlinearize(out_keys, new_grid)
-    return SparseTensor(
+    skeleton = SparseTensor(
         coords=out_coords,
         feats=jnp.zeros((st.coords.shape[0], n_out_cap, 0), dtype=st.feats.dtype),
         n_active=n_out,
         grid_shape=new_grid,
     )
+    if with_dropped:
+        return skeleton, dropped
+    return skeleton
 
 
 def build_downsample_rulebook(

@@ -30,14 +30,22 @@ def make_loss_fn(model, scheme: LossBalanceScheme, class_weights=None):
                 st,
                 True,
                 rngs={"dropout": dropout_rng},
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "diagnostics"],
             )
             new_stats = mutated["batch_stats"]
+            # Capacity-overflow drops sown by the sparse encoder
+            # (window-plan sidecar overflow + downsample-site truncation);
+            # a nonzero value means the conv math lost pairs this step.
+            dropped = sum(
+                jax.tree_util.tree_leaves(mutated.get("diagnostics", {})),
+                start=jnp.zeros((), jnp.int32),
+            )
         else:
             logits = model.apply(variables, st, False)
             new_stats = batch_stats
+            dropped = jnp.zeros((), jnp.int32)
         loss, per_head = multi_head_loss(logits, labels, scheme, class_weights)
-        return loss, (logits, new_stats, per_head)
+        return loss, (logits, new_stats, per_head, dropped)
 
     return loss_fn
 
@@ -59,15 +67,16 @@ def make_train_step(
 
     def step(state: TrainState, st: SparseTensor, labels, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
-        (loss, (logits, new_stats, per_head)), grads = jax.value_and_grad(
+        (loss, (logits, new_stats, per_head, dropped)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, st, labels, dropout_rng, True)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
+            dropped = jax.lax.psum(dropped, axis_name)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"loss/loss": loss}
+        metrics = {"loss/loss": loss, "overflow/dropped": dropped}
         acc = multi_head_accuracy(logits, labels)
         if axis_name is not None:
             acc = {k: jax.lax.pmean(v, axis_name) for k, v in acc.items()}
@@ -90,7 +99,7 @@ def make_eval_step(
     loss_fn = make_loss_fn(model, scheme, class_weights)
 
     def step(state: TrainState, st: SparseTensor, labels):
-        loss, (logits, _, per_head) = loss_fn(
+        loss, (logits, _, per_head, _) = loss_fn(
             state.params, state.batch_stats, st, labels, jax.random.PRNGKey(0), False
         )
         metrics = {"loss/loss": loss}

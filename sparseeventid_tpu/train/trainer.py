@@ -13,6 +13,7 @@ src/utils/core/trainercore.py:151-196), TPU-native:
 from __future__ import annotations
 
 import dataclasses
+import zlib
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -85,11 +86,26 @@ class Trainer:
         self.ckpt = CheckpointManager(self.output_dir / "checkpoints", keep=5)
 
         self.model, self.input_mode = build_model(cfg, axis_name=self.axis_name)
+        if cfg.run.precision == Precision.float16:
+            # TPU MXUs have no f16 path; the reference's "16" precision maps
+            # to bf16 here (create_trainer.py:19-27 — documented deviation).
+            logger.warning("precision=float16 has no TPU path; using bfloat16")
         self._batch_dtype = (
             jnp.bfloat16
-            if cfg.run.precision in (Precision.bfloat16, Precision.mixed)
+            if cfg.run.precision
+            in (Precision.bfloat16, Precision.mixed, Precision.float16)
             else jnp.float32
         )
+        # run.compute_mode selects the accelerator in the reference
+        # (create_trainer.py:45-47); with JAX the platform is fixed at
+        # backend init, so mismatches are surfaced instead of ignored.
+        want = getattr(cfg.run.compute_mode, "name", str(cfg.run.compute_mode))
+        have = jax.default_backend()
+        expected = {"CPU": "cpu", "CUDA": "gpu", "XPU": "gpu"}.get(want)
+        if expected and expected != have and have not in ("tpu", "axon"):
+            logger.warning(
+                f"run.compute_mode={want} but jax backend is '{have}'"
+            )
 
     # ------------------------------------------------------------------ data
     def _build_datasets(self):
@@ -115,7 +131,9 @@ class Trainer:
                         max_voxels=cfg.data.max_voxels,
                         normalize=cfg.data.normalize,
                     ),
-                    seed=hash(split) % 2**31,
+                    # stable per-split seed (hash() is salted per process —
+                    # irreproducible splits, ADVICE r1): crc32 + run seed
+                    seed=(zlib.crc32(split.encode()) + cfg.run.seed) % 2**31,
                 )
             else:
                 from ..io.larcv import LarcvDataset
@@ -183,6 +201,17 @@ class Trainer:
             opt_cfg.lr_schedule, epoch_length, total_epochs
         )
         optimizer = build_optimizer(opt_cfg, lr_schedule)
+        if cfg.mode.weights_location and getattr(
+            cfg.mode, "restore_encoder_only", False
+        ):
+            # Transfer learning: freeze the transferred encoder
+            # (create_trainer.py:94-106 param.requires_grad=False).
+            import optax
+
+            optimizer = optax.multi_transform(
+                {"trainable": optimizer, "frozen": optax.set_to_zero()},
+                encoder_freeze_mask,
+            )
 
         st0, _ = self._to_device(self.datasets["train"].batch(
             list(range(cfg.run.minibatch_size))
@@ -205,10 +234,25 @@ class Trainer:
         state = self._restore(state)
 
         scheme = opt_cfg.loss_balance_scheme
+        class_weights = None
+        if scheme == LossBalanceScheme.even:
+            # Reference 'even' scheme: CrossEntropyLoss(weight=[0.582, 1.417])
+            # (supervised_eventID.py:44-47). That tensor only fits the
+            # 2-class heads; applying it to the 3-class heads would crash
+            # torch too, so those heads get unweighted smoothed CE here.
+            class_weights = {
+                k: jnp.asarray([0.582, 1.417])
+                for k, n in OUTPUT_SHAPE.items()
+                if n == 2
+            }
         train_step = make_train_step(
-            self.model, optimizer, scheme, lr_schedule, axis_name=self.axis_name
+            self.model, optimizer, scheme, lr_schedule,
+            axis_name=self.axis_name, class_weights=class_weights,
         )
-        eval_step = make_eval_step(self.model, scheme, axis_name=self.axis_name)
+        eval_step = make_eval_step(
+            self.model, scheme, axis_name=self.axis_name,
+            class_weights=class_weights,
+        )
         if self.mesh is not None:
             train_step = make_dp_train_step(train_step, self.mesh)
             eval_step = make_dp_eval_step(eval_step, self.mesh)
@@ -233,7 +277,7 @@ class Trainer:
             )
             logger.info(
                 f"Transferred encoder weights from {cfg.mode.weights_location} "
-                "(encoder frozen not yet applied to optimizer)"
+                "(encoder frozen via optax.multi_transform)"
             )
             return dataclasses.replace(state, params=params)
         # (b) full restore from explicit location
@@ -287,6 +331,12 @@ class Trainer:
             timer.mark_step()
             if i % log_every == 0:
                 metrics = jax.device_get(metrics)
+                if int(metrics.get("overflow/dropped", 0)) > 0:
+                    logger.warning(
+                        f"step {i}: {int(metrics['overflow/dropped'])} conv "
+                        "pairs/sites dropped by static capacity — raise "
+                        "framework.min_capacity or data.max_voxels"
+                    )
                 self.writer.write(metrics, i, prefix="/train/")
                 logger.info(
                     format_log_message(
