@@ -182,10 +182,15 @@ class LarcvDataset:
                         data[pg_name]["particles"]["pdg"][:].astype(np.int32)
                     )
         self.energy = None
+        self.vertex = None
         if "particle_event_group" in data:
-            self.energy = data["particle_event_group"]["particles"][
-                "energy_deposit"
-            ][:]
+            particles = data["particle_event_group"]["particles"]
+            self.energy = particles["energy_deposit"][:]
+            if "vertex" in particles.dtype.names:
+                # yolo-task regression target (voxel units here; the
+                # reference builds it from particle data,
+                # vertex_finding.py:294-359)
+                self.vertex = particles["vertex"][:].astype(np.float32)
 
         if self.meta is not None:
             self._grid = tuple(self.meta["n_voxels"])
@@ -260,6 +265,8 @@ class LarcvDataset:
             out[key] = arr[np.asarray(indices, np.int64)]
         if self.energy is not None:
             out["energy"] = self.energy[np.asarray(indices, np.int64)]
+        if self.vertex is not None:
+            out["vertex"] = self.vertex[np.asarray(indices, np.int64)]
         return out
 
 
@@ -280,12 +287,15 @@ def write_synthetic_larcv_file(
     grid = np.array(image_size)
     for i in range(n_events):
         rng = np.random.default_rng((seed, i))
-        coords, vals, labels = generate_event(rng, cfg)
+        coords, vals, labels, aux = generate_event(rng, cfg)
         lin = coords[:, 0].astype(np.int64)
         for dd in range(1, len(image_size)):
             lin = lin * image_size[dd] + coords[:, dd]
         writer.write_event(
-            [(lin.astype(np.uint64), vals)], labels=labels, energy=float(vals.sum())
+            [(lin.astype(np.uint64), vals)],
+            labels=labels,
+            energy=float(aux["energy"]),
+            vertex=tuple(float(v) for v in aux["vertex"]),
         )
     writer.close()
     return path

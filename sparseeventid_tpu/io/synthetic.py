@@ -35,8 +35,14 @@ class SyntheticEventConfig:
 
 def generate_event(
     rng: np.random.Generator, cfg: SyntheticEventConfig
-) -> Tuple[np.ndarray, np.ndarray, Dict[str, int]]:
-    """One event -> (coords i32[<=max_voxels, D], values f32[n], labels)."""
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, int], Dict[str, np.ndarray]]:
+    """One event -> (coords i32[<=max_voxels, D], values f32[n], labels, aux).
+
+    aux carries the per-event targets the non-supervised tasks need:
+    ``vertex`` (true interaction vertex, voxel units — the yolo task's
+    regression target, vertex_finding.py:294-359) and ``energy`` (total
+    deposition — the unsupervised task's weak-label feature,
+    unsupervised_eventID.py:360)."""
     dims = np.array(cfg.image_size, dtype=np.float64)
     d = len(dims)
     vertex = rng.uniform(0.25, 0.75, size=d) * dims
@@ -97,7 +103,11 @@ def generate_event(
         "labelcpiID": n_cpi,
         "labelnpiID": n_npi,
     }
-    return coords, vals, labels
+    aux = {
+        "vertex": vertex.astype(np.float32),
+        "energy": np.float32(vals.sum()),
+    }
+    return coords, vals, labels, aux
 
 
 class SyntheticDataset:
@@ -135,8 +145,10 @@ class SyntheticDataset:
         if self.cfg.n_planes > 1:
             p = self.cfg.n_planes
             image = np.full((b, p, self.cfg.max_voxels, 3), -999.0, np.float32)
+            energy = np.zeros(b, np.float32)
             for i, idx in enumerate(indices):
-                coords, vals, labs = self.event(int(idx))
+                coords, vals, labs, aux = self.event(int(idx))
+                energy[i] = aux["energy"]
                 for pl in range(p):
                     # project out axis pl%d -> a 2D wire-plane view
                     keep = [a for a in range(d) if a != (pl % d)]
@@ -156,17 +168,21 @@ class SyntheticDataset:
                     image[i, pl, :n, 2] = summed[:n]
                 for k, v in labs.items():
                     labels[k][i] = v
-            out = {"image": image}
+            out = {"image": image, "energy": energy}
             out.update(labels)
             return out
         image = np.full((b, self.cfg.max_voxels, d + 1), -999.0, np.float32)
+        vertex = np.zeros((b, d), np.float32)
+        energy = np.zeros(b, np.float32)
         for i, idx in enumerate(indices):
-            coords, vals, labs = self.event(int(idx))
+            coords, vals, labs, aux = self.event(int(idx))
             n = len(coords)
             image[i, :n, :d] = coords
             image[i, :n, d] = vals
+            vertex[i] = aux["vertex"]
+            energy[i] = aux["energy"]
             for k, v in labs.items():
                 labels[k][i] = v
-        out = {"image": image}
+        out = {"image": image, "vertex": vertex, "energy": energy}
         out.update(labels)
         return out

@@ -58,9 +58,13 @@ class SparseEventClassifier(nn.Module):
 
 
 def build_sparse_classifier(
-    cfg: SparseEventIDConfig, axis_name: str | None = None
+    cfg: SparseEventIDConfig,
+    axis_name: str | None = None,
+    output_shape: Mapping[str, int] | None = None,
 ) -> SparseEventClassifier:
-    """Build the flagship model from a config tree."""
+    """Build the flagship model from a config tree. ``output_shape``
+    overrides the 4-head default (e.g. {'weak_label': 2} for the
+    unsupervised_eventID task, unsupervised_eventID.py:360)."""
     enc = cfg.encoder
     if not isinstance(enc, ConvRepresentation):
         raise TypeError("sparse classifier requires encoder=convnet")
@@ -72,7 +76,7 @@ def build_sparse_classifier(
     )
     return SparseEventClassifier(
         encoder_cfg=enc,
-        output_shape=OUTPUT_SHAPE,
+        output_shape=output_shape or OUTPUT_SHAPE,
         dimension=cfg.data.dimension,
         capacities=caps,
         head_hidden=cfg.head.hidden,

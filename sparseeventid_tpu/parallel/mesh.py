@@ -43,31 +43,37 @@ def shard_batch(mesh: Mesh, tree, axis: str = DATA_AXIS):
     return jax.device_put(tree, sharding)
 
 
-def make_dp_train_step(step_fn: Callable, mesh: Mesh, axis: str = DATA_AXIS):
-    """Wrap a per-shard step(state, st, labels, rng) in shard_map + jit.
+def make_dp_train_step(
+    step_fn: Callable, mesh: Mesh, axis: str = DATA_AXIS, n_batch_args: int = 2
+):
+    """Wrap a per-shard step(state, *batch_args, rng) in shard_map + jit.
 
-    state is replicated, batch pytrees are sharded on the leading (batch)
-    axis, rng is replicated. step_fn must pmean its grads/metrics over
-    ``axis`` (make_train_step(axis_name=axis) does)."""
+    state is replicated, the n_batch_args batch pytrees are sharded on the
+    leading (batch) axis, rng is replicated. step_fn must pmean its
+    grads/metrics over ``axis`` (make_train_step(axis_name=axis) does).
+    n_batch_args=2 fits supervised (st, labels) and SimCLR (v1, v2);
+    vertex finding uses 3 (st, vertex, event_label)."""
     from jax import shard_map
 
     sharded = shard_map(
         step_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P()),
+        in_specs=(P(),) + (P(axis),) * n_batch_args + (P(),),
         out_specs=(P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
 
 
-def make_dp_eval_step(step_fn: Callable, mesh: Mesh, axis: str = DATA_AXIS):
+def make_dp_eval_step(
+    step_fn: Callable, mesh: Mesh, axis: str = DATA_AXIS, n_batch_args: int = 2
+):
     from jax import shard_map
 
     sharded = shard_map(
         step_fn,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis)),
+        in_specs=(P(),) + (P(axis),) * n_batch_args,
         out_specs=P(),
         check_vma=False,
     )

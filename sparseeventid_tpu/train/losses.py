@@ -122,6 +122,7 @@ def nt_xent_top_k_accuracy(
     sim = z @ z.T / temperature
     sim = jnp.where(jnp.eye(2 * n, dtype=bool), -1e9, sim)
     pos_idx = jnp.concatenate([jnp.arange(n) + n, jnp.arange(n)])
+    k = min(k, 2 * n - 1)  # tiny-batch guard (k=5 with B<3)
     _, topk = jax.lax.top_k(sim, k)
     hit = jnp.any(topk == pos_idx[:, None], axis=-1)
     return jnp.mean(hit.astype(jnp.float32))

@@ -87,7 +87,7 @@ def make_simclr_train_step(
         loss = nt_xent_loss(z1, z2, temperature, axis_name=axis_name)
         return loss, (z1, z2, mutated["batch_stats"])
 
-    def step(state: TrainState, v1, v2, rng):
+    def step(state: TrainState, v1, v2, rng):  # noqa: D401
         rng = jax.random.fold_in(rng, state.step)
         (loss, (z1, z2, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -107,5 +107,26 @@ def make_simclr_train_step(
         if lr_schedule is not None:
             metrics["opt/lr"] = lr_schedule(state.step)
         return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
+
+    return step
+
+
+def make_simclr_eval_step(
+    model: RepresentationModel,
+    temperature: float = 0.1,
+    axis_name: str | None = None,
+):
+    """eval(state, view1, view2) -> metrics (rep_trainer validation parity)."""
+
+    def step(state: TrainState, v1, v2):
+        z1, z2 = model.apply(state.variables(), v1, v2, False)
+        metrics = {
+            "loss/loss": nt_xent_loss(z1, z2, temperature, axis_name=axis_name),
+            "acc/top1": nt_xent_top_k_accuracy(z1, z2, temperature, 1),
+            "acc/top5": nt_xent_top_k_accuracy(z1, z2, temperature, 5),
+        }
+        if axis_name is not None:
+            metrics = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
+        return metrics
 
     return step

@@ -159,36 +159,49 @@ class Trainer:
             )
         return self.loaders[split]
 
-    def _to_device(self, batch: Dict):
+    def _shard(self, args: Tuple):
+        if self.mesh is not None:
+            return shard_batch(self.mesh, args)
+        return args
+
+    def _image_to_input(self, image):
+        """Convert a padded larcv image array to the model's input format."""
         if self.input_mode == "points":
             from ..io.transforms import larcv_batch_to_pointcloud
 
             pts, mask = larcv_batch_to_pointcloud(
-                batch["image"], max_points=getattr(
-                    self.cfg.encoder, "max_points", 2048
-                )
+                image, max_points=getattr(self.cfg.encoder, "max_points", 2048)
             )
-            x = (jnp.asarray(pts, self._batch_dtype), jnp.asarray(mask))
-        elif self.input_mode == "dense":
+            return (jnp.asarray(pts, self._batch_dtype), jnp.asarray(mask))
+        if self.input_mode == "dense":
             from ..io.transforms import larcv_batch_to_dense
 
-            x = jnp.asarray(
-                larcv_batch_to_dense(batch["image"], self.image_shape),
-                self._batch_dtype,
+            return jnp.asarray(
+                larcv_batch_to_dense(image, self.image_shape), self._batch_dtype
             )
-        elif self.cfg.data.dimension == 2:
-            x = larcv_batch_to_sparse_2d(batch["image"], self.image_shape)
+        if self.cfg.data.dimension == 2:
+            x = larcv_batch_to_sparse_2d(image, self.image_shape)
         else:
-            x = larcv_batch_to_sparse_3d(batch["image"], self.image_shape)
-        if self.input_mode == "sparse" and self._batch_dtype != jnp.float32:
+            x = larcv_batch_to_sparse_3d(image, self.image_shape)
+        if self._batch_dtype != jnp.float32:
             x = x.with_feats(x.feats.astype(self._batch_dtype))
+        return x
+
+    def _to_device(self, batch: Dict):
+        x = self._image_to_input(batch["image"])
         labels = {k: jnp.asarray(batch[k]) for k in OUTPUT_SHAPE if k in batch}
-        if self.mesh is not None:
-            x, labels = shard_batch(self.mesh, (x, labels))
-        return x, labels
+        return self._shard((x, labels))
 
     # ----------------------------------------------------------------- build
     def _build_training(self) -> Tuple:
+        """-> (state, train_step, eval_step, n_steps, prepare).
+
+        ``prepare(host_batch)`` converts a loader batch into the tuple of
+        device args; ``train_step(state, *args, rng)``;
+        ``eval_step(state, *args)``. The task is selected by ``cfg.name``
+        exactly like the reference CLI (bin/exec.py:280-301):
+        supervised_eventID / simclr / yolo / unsupervised_eventID.
+        """
         cfg = self.cfg
         # inference/iotest modes carry no optimizer config (mode.py:31-41);
         # use defaults for state construction
@@ -212,17 +225,30 @@ class Trainer:
                 {"trainable": optimizer, "frozen": optax.set_to_zero()},
                 encoder_freeze_mask,
             )
-
-        st0, _ = self._to_device(self.datasets["train"].batch(
-            list(range(cfg.run.minibatch_size))
-        ))
-        # init with an axis-free twin (sync-BN psum needs the mesh context;
-        # identical param structure)
-        init_model = (
-            build_model(cfg)[0] if self.axis_name else self.model
+        n_steps = (
+            cfg.mode.iterations
+            if getattr(cfg.mode, "iterations", 0)
+            else epoch_length * total_epochs
         )
-        init = jax.jit(init_model.init, static_argnums=(2,))
-        variables = init(jax.random.PRNGKey(cfg.run.seed), st0, True)
+        builders = {
+            "supervised_eventID": self._build_supervised,
+            "simclr": self._build_simclr,
+            "yolo": self._build_vertex_task,
+            "unsupervised_eventID": self._build_unsupervised,
+        }
+        if cfg.name not in builders:
+            raise ValueError(
+                f"unknown task name {cfg.name!r}; expected one of "
+                f"{sorted(builders)} (reference bin/exec.py:280-301)"
+            )
+        return builders[cfg.name](opt_cfg, optimizer, lr_schedule, n_steps)
+
+    def _example_batch(self):
+        return self.datasets["train"].batch(
+            list(range(self.cfg.run.minibatch_size))
+        )
+
+    def _finish_state(self, variables, optimizer):
         state = TrainState(
             variables["params"],
             variables.get("batch_stats", {}),
@@ -230,8 +256,29 @@ class Trainer:
             jnp.zeros((), jnp.int32),
         )
         logger.info(f"Model parameters: {param_count(state.params):,}")
+        return self._restore(state)
 
-        state = self._restore(state)
+    def _capacities(self) -> Tuple[int, ...]:
+        from ..models.encoder import capacity_schedule
+
+        cfg = self.cfg
+        return capacity_schedule(
+            cfg.data.max_voxels,
+            cfg.encoder.depth,
+            cfg.framework.capacity_shrink,
+            cfg.framework.min_capacity,
+        )
+
+    # ---- task: supervised 4-head event ID --------------------------------
+    def _build_supervised(self, opt_cfg, optimizer, lr_schedule, n_steps):
+        cfg = self.cfg
+        st0, _ = self._to_device(self._example_batch())
+        # init with an axis-free twin (sync-BN psum needs the mesh context;
+        # identical param structure)
+        init_model = build_model(cfg)[0] if self.axis_name else self.model
+        init = jax.jit(init_model.init, static_argnums=(2,))
+        variables = init(jax.random.PRNGKey(cfg.run.seed), st0, True)
+        state = self._finish_state(variables, optimizer)
 
         scheme = opt_cfg.loss_balance_scheme
         class_weights = None
@@ -259,12 +306,189 @@ class Trainer:
         else:
             train_step = jax.jit(train_step)
             eval_step = jax.jit(eval_step)
-        n_steps = (
-            cfg.mode.iterations
-            if getattr(cfg.mode, "iterations", 0)
-            else epoch_length * total_epochs
+        return state, train_step, eval_step, n_steps, self._to_device
+
+    # ---- task: SimCLR representation learning ----------------------------
+    def _augment(self, image):
+        """One augmented view of a padded larcv image array (the reference's
+        Mirror -> GaussianBlur -> Translate chain, larcv_fetcher.py:229-261)."""
+        from ..io.augment import augment_larcv_batch
+
+        if image.ndim == 4:  # [B, P, N, 3] multiplane: per-plane 2D augment
+            b, p, n, f = image.shape
+            # stored coordinate order is (x, y) (data_transforms.py:242)
+            dims = (int(self.image_shape[2]), int(self.image_shape[1]))
+            out = augment_larcv_batch(
+                image.reshape(b * p, n, f), dims, self._augment_rng
+            )
+            return out.reshape(b, p, n, f)
+        dims = tuple(int(g) for g in self.image_shape)
+        return augment_larcv_batch(image, dims, self._augment_rng)
+
+    def _build_simclr(self, opt_cfg, optimizer, lr_schedule, n_steps):
+        cfg = self.cfg
+        from .representation import (
+            RepresentationModel,
+            make_simclr_eval_step,
+            make_simclr_train_step,
         )
-        return state, train_step, eval_step, n_steps
+
+        t1, t2 = cfg.data.transform1, cfg.data.transform2
+        if not (t1 or t2):
+            # the reference recipes always enable both augment chains for
+            # simclr (exec.py:291-296); default to that rather than training
+            # on two identical views
+            logger.warning(
+                "simclr with data.transform1/2 unset; augmenting both views"
+            )
+            t1 = t2 = True
+        self._augment_rng = np.random.default_rng(cfg.run.seed + 101)
+
+        kwargs = dict(
+            encoder_cfg=cfg.encoder,
+            dimension=cfg.data.dimension,
+            capacities=self._capacities(),
+            backend=cfg.framework.sparse_backend,
+            remat=cfg.framework.remat,
+        )
+        model = RepresentationModel(**kwargs, axis_name=self.axis_name)
+
+        def prepare(batch):
+            image = batch["image"]
+            v1 = self._augment(image) if t1 else image
+            v2 = self._augment(image) if t2 else image
+            return self._shard(
+                (self._image_to_input(v1), self._image_to_input(v2))
+            )
+
+        st1, st2 = prepare(self._example_batch())
+        init_model = RepresentationModel(**kwargs) if self.axis_name else model
+        init = jax.jit(init_model.init, static_argnums=(3,))
+        variables = init(jax.random.PRNGKey(cfg.run.seed), st1, st2, True)
+        state = self._finish_state(variables, optimizer)
+
+        train_step = make_simclr_train_step(
+            model, optimizer, lr_schedule, axis_name=self.axis_name
+        )
+        eval_step = make_simclr_eval_step(model, axis_name=self.axis_name)
+        if self.mesh is not None:
+            train_step = make_dp_train_step(train_step, self.mesh)
+            eval_step = make_dp_eval_step(eval_step, self.mesh)
+        else:
+            train_step = jax.jit(train_step)
+            eval_step = jax.jit(eval_step)
+        return state, train_step, eval_step, n_steps, prepare
+
+    # ---- task: YOLO-style vertex finding ----------------------------------
+    def _build_vertex_task(self, opt_cfg, optimizer, lr_schedule, n_steps):
+        cfg = self.cfg
+        from .vertex import (
+            VertexModel,
+            make_vertex_eval_step,
+            make_vertex_train_step,
+        )
+
+        if cfg.data.dimension != 3:
+            raise ValueError("yolo vertex finding needs 3D data")
+        full_grid = tuple(int(g) for g in self.image_shape)
+        anchor_grid = tuple(g // 2**cfg.encoder.depth for g in full_grid)
+        kwargs = dict(
+            encoder_cfg=cfg.encoder,
+            dimension=3,
+            capacities=self._capacities(),
+            n_event_classes=OUTPUT_SHAPE["labelneutID"],
+            backend=cfg.framework.sparse_backend,
+            remat=cfg.framework.remat,
+        )
+        model = VertexModel(**kwargs, axis_name=self.axis_name)
+
+        def prepare(batch):
+            if "vertex" not in batch:
+                raise KeyError(
+                    "yolo task needs a per-event 'vertex' target; the "
+                    "dataset must provide one (synthetic does; larcv files "
+                    "need the particle_event_group vertex field)"
+                )
+            st = self._image_to_input(batch["image"])
+            vertex = jnp.asarray(batch["vertex"], jnp.float32)
+            event_label = jnp.asarray(batch["labelneutID"], jnp.int32)
+            return self._shard((st, vertex, event_label))
+
+        st0, v0, e0 = prepare(self._example_batch())
+        init_model = VertexModel(**kwargs) if self.axis_name else model
+        init = jax.jit(init_model.init, static_argnums=(2,))
+        variables = init(jax.random.PRNGKey(cfg.run.seed), st0, True)
+        state = self._finish_state(variables, optimizer)
+
+        train_step = make_vertex_train_step(
+            model, optimizer, anchor_grid, full_grid, lr_schedule,
+            axis_name=self.axis_name,
+        )
+        eval_step = make_vertex_eval_step(
+            model, anchor_grid, full_grid, axis_name=self.axis_name
+        )
+        if self.mesh is not None:
+            train_step = make_dp_train_step(train_step, self.mesh, n_batch_args=3)
+            eval_step = make_dp_eval_step(eval_step, self.mesh, n_batch_args=3)
+        else:
+            train_step = jax.jit(train_step)
+            eval_step = jax.jit(eval_step)
+        return state, train_step, eval_step, n_steps, prepare
+
+    # ---- task: unsupervised (weak-label) event ID -------------------------
+    def _build_unsupervised(self, opt_cfg, optimizer, lr_schedule, n_steps):
+        cfg = self.cfg
+        from ..models import build_sparse_classifier
+        from .unsupervised import weak_labels_from_energy
+
+        ds = self.datasets["train"]
+        if getattr(ds, "energy", None) is not None:
+            energies = np.asarray(ds.energy)
+        else:
+            sample = ds.batch(list(range(min(len(ds), 256))))
+            if "energy" not in sample:
+                raise KeyError(
+                    "unsupervised_eventID needs per-event 'energy' "
+                    "(particle_event_group energy_deposit)"
+                )
+            energies = np.asarray(sample["energy"])
+        res = weak_labels_from_energy(energies)
+        lo, hi = float(res["window"][0]), float(res["window"][1])
+        logger.info(f"weak-label energy window: [{lo:.3g}, {hi:.3g}]")
+
+        output_shape = {"weak_label": 2}
+        model = build_sparse_classifier(
+            cfg, axis_name=self.axis_name, output_shape=output_shape
+        )
+
+        def prepare(batch):
+            st = self._image_to_input(batch["image"])
+            e = np.asarray(batch["energy"])
+            weak = ((e >= lo) & (e <= hi)).astype(np.int32)
+            return self._shard((st, {"weak_label": jnp.asarray(weak)}))
+
+        st0, labels0 = prepare(self._example_batch())
+        init_model = (
+            build_sparse_classifier(cfg, output_shape=output_shape)
+            if self.axis_name
+            else model
+        )
+        init = jax.jit(init_model.init, static_argnums=(2,))
+        variables = init(jax.random.PRNGKey(cfg.run.seed), st0, True)
+        state = self._finish_state(variables, optimizer)
+
+        scheme = opt_cfg.loss_balance_scheme
+        train_step = make_train_step(
+            model, optimizer, scheme, lr_schedule, axis_name=self.axis_name
+        )
+        eval_step = make_eval_step(model, scheme, axis_name=self.axis_name)
+        if self.mesh is not None:
+            train_step = make_dp_train_step(train_step, self.mesh)
+            eval_step = make_dp_eval_step(eval_step, self.mesh)
+        else:
+            train_step = jax.jit(train_step)
+            eval_step = jax.jit(eval_step)
+        return state, train_step, eval_step, n_steps, prepare
 
     def _restore(self, state: TrainState) -> TrainState:
         cfg = self.cfg
@@ -303,7 +527,7 @@ class Trainer:
             # (reference: profiler="simple" / autograd chrome traces,
             # create_trainer.py:29-33, torch/trainer.py:314-352)
             jax.profiler.start_trace(str(self.output_dir / "profile"))
-        state, train_step, eval_step, n_steps = self._build_training()
+        state, train_step, eval_step, n_steps, prepare = self._build_training()
         loader = self._loader("train")
         val_loader = self._loader("val") if "val" in self.datasets else None
         rng = jax.random.PRNGKey(cfg.run.seed + 1)
@@ -314,9 +538,8 @@ class Trainer:
 
         for i in range(start, n_steps):
             if val_loader is not None and i % self.VAL_CHECK_INTERVAL == 0:
-                vb = next(val_loader)
-                vst, vlabels = self._to_device(vb)
-                vmetrics = jax.device_get(eval_step(state, vst, vlabels))
+                vargs = prepare(next(val_loader))
+                vmetrics = jax.device_get(eval_step(state, *vargs))
                 self.writer.write(vmetrics, i, prefix="/val/")
                 logger.info(
                     format_log_message(
@@ -324,9 +547,9 @@ class Trainer:
                     )
                 )
             batch = next(loader)
-            st, labels = self._to_device(batch)
+            args = prepare(batch)
             timer.mark_io()
-            state, metrics = train_step(state, st, labels, rng)
+            state, metrics = train_step(state, *args, rng)
             jax.block_until_ready(metrics["loss/loss"])
             timer.mark_step()
             if i % log_every == 0:
@@ -358,9 +581,10 @@ class Trainer:
         """Inference mode: run the val split once, report metrics; optionally
         save per-event softmax (legacy ana_step parity)."""
         cfg = self.cfg
-        state, _, eval_step, _ = self._build_training()
-        predict = make_predict_step(self.model)
-        if self.mesh is None:
+        state, _, eval_step, _, prepare = self._build_training()
+        supervised = cfg.name == "supervised_eventID"
+        predict = make_predict_step(self.model) if supervised else None
+        if predict is not None and self.mesh is None:
             predict = jax.jit(predict)
         split = "val" if "val" in self.datasets else "test"
         ds = self.datasets[split]
@@ -370,18 +594,18 @@ class Trainer:
         outputs = {k: [] for k in OUTPUT_SHAPE}
         for i in range(n_batches):
             batch = ds.batch(list(range(i * bs, min((i + 1) * bs, len(ds)))))
-            st, labels = self._to_device(batch)
-            m = jax.device_get(eval_step(state, st, labels))
+            args = prepare(batch)
+            m = jax.device_get(eval_step(state, *args))
             all_metrics.append(m)
-            if getattr(cfg.mode, "output_file", ""):
-                soft = jax.device_get(predict(state, st))
+            if predict is not None and getattr(cfg.mode, "output_file", ""):
+                soft = jax.device_get(predict(state, args[0]))
                 for k in OUTPUT_SHAPE:
                     outputs[k].append(soft[k])
         mean = {
             k: float(np.mean([m[k] for m in all_metrics])) for k in all_metrics[0]
         }
         logger.info(f"validation over {n_batches} batches: {mean}")
-        if getattr(cfg.mode, "output_file", ""):
+        if predict is not None and getattr(cfg.mode, "output_file", ""):
             merged = {k: np.concatenate(v) for k, v in outputs.items()}
             if str(cfg.mode.output_file).endswith(".h5"):
                 # write per-event softmax back in larcv style (legacy

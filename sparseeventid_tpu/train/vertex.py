@@ -200,3 +200,28 @@ def make_vertex_train_step(
         return TrainState(new_params, new_stats, new_opt, state.step + 1), metrics
 
     return step
+
+
+def make_vertex_eval_step(
+    model: VertexModel,
+    anchor_grid: Tuple[int, int, int],
+    full_grid: Tuple[int, int, int],
+    axis_name: str | None = None,
+):
+    """eval(state, st, vertex, event_label) -> metrics (validation_step
+    parity, vertex_finding.py:244-291 resolution metrics)."""
+
+    def step(state: TrainState, st, vertex, event_label):
+        anchor_pred, event_logits = model.apply(state.variables(), st, False)
+        obj_t, off_t, cell = build_vertex_labels(vertex, anchor_grid, full_grid)
+        loss, parts = vertex_loss(
+            anchor_pred, event_logits, obj_t, off_t, cell, event_label
+        )
+        metrics = {"loss/loss": loss, **parts}
+        pred_v = predict_vertex(anchor_pred, anchor_grid, full_grid)
+        metrics.update(vertex_resolution_metrics(pred_v, vertex))
+        if axis_name is not None:
+            metrics = {k: jax.lax.pmean(v, axis_name) for k, v in metrics.items()}
+        return metrics
+
+    return step

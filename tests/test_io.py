@@ -34,7 +34,7 @@ def test_larcv_roundtrip_matches_synthetic(larcv_file):
         12, SyntheticEventConfig(image_size=(32, 32, 32), normalize=False), seed=7
     )
     batch = ds.batch([0, 3])
-    coords0, vals0, labels0 = syn.event(0)
+    coords0, vals0, labels0, _aux0 = syn.event(0)
     img = batch["image"][0]
     valid = img[:, 3] != -999.0
     got_coords = img[valid][:, :3].astype(np.int32)
