@@ -31,6 +31,7 @@ ACTIVE_VOXELS = 25000  # typical occupancy is well under the 50k cap
 BATCH = 8
 WARMUP = 2
 ITERS = 10
+BLOCKS = 3  # timed blocks; report mean +/- std across blocks (VERDICT r1 #7)
 
 
 def main():
@@ -52,6 +53,14 @@ def main():
     import os
 
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    # Host-built window plans are the production path (C++ prefetch workers,
+    # io/_hostio.cpp); BENCH_HOST_PLANS=0 falls back to on-device plan
+    # construction inside the jitted step.
+    from sparseeventid_tpu.io.hostio import HAVE_NATIVE
+
+    host_plans = (
+        os.environ.get("BENCH_HOST_PLANS", "1") != "0" and HAVE_NATIVE
+    )
     cfg = load_config(
         "dune3d",
         [
@@ -101,31 +110,76 @@ def main():
         return st, labels
 
     st, labels = make_batch(0)
+
+    pb = None
+    host0 = None
+    if host_plans:
+        from sparseeventid_tpu.io.hostio import build_window_plans
+        from sparseeventid_tpu.models.encoder import capacity_schedule
+        from sparseeventid_tpu.ops import engine as _eng
+        from sparseeventid_tpu.ops.host_plans import encoder_plans_from_host
+        from sparseeventid_tpu.ops.pallas.window_conv import WINDOW_R, WINDOW_R_STRIDED
+
+        caps = capacity_schedule(
+            MAX_VOXELS, cfg.encoder.depth, cfg.framework.capacity_shrink,
+            cfg.framework.min_capacity,
+        )
+        coords_np = np.asarray(st.coords)  # sorted, -1 padded: valid input
+
+        def build_host(c):
+            return build_window_plans(
+                c, GRID, list(caps),
+                initial_kernel=(5, 5, 5), series_kernel=(3, 3, 3),
+                stride=(2, 2, 2), window_r=WINDOW_R,
+                ov_caps=[_eng._overflow_cap(cc, 27) for cc in caps],
+                ov_cap_initial=_eng._overflow_cap(caps[0], 125),
+                ov_caps_down=[_eng._overflow_cap(cc, 8) for cc in caps[:-1]],
+                window_r_down=WINDOW_R_STRIDED,
+            )
+
+        host0 = {k: jnp.asarray(v) for k, v in build_host(coords_np).items()}
+        depth = cfg.encoder.depth
+
+        def pb(s, h):
+            return encoder_plans_from_host(
+                s, h, depth, (5, 5, 5), (3, 3, 3), (2, 2, 2)
+            )
+
     lr = build_lr_schedule(cfg.mode.optimizer.lr_schedule, 100, 25)
     optimizer = build_optimizer(cfg.mode.optimizer, lr)
+    plans0 = jax.jit(pb)(st, host0) if pb is not None else None
     state = create_train_state(
-        model, optimizer, jax.random.PRNGKey(0), st
+        model, optimizer, jax.random.PRNGKey(0), st, plans0
     )
     step = jax.jit(
-        make_train_step(model, optimizer, LossBalanceScheme.focal, lr)
+        make_train_step(
+            model, optimizer, LossBalanceScheme.focal, lr, plans_builder=pb
+        )
     )
     key = jax.random.PRNGKey(1)
 
     # NOTE: on the axon platform block_until_ready does not actually block;
     # force a device->host transfer to fence timing.
     for i in range(WARMUP):
-        state, metrics = step(state, st, labels, key)
+        state, metrics = step(state, st, labels, host0, key)
     _ = float(metrics["loss/loss"])
+    dropped = int(metrics.get("overflow/dropped", 0))
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, metrics = step(state, st, labels, key)
-    _ = float(metrics["loss/loss"]) + float(
-        jax.tree_util.tree_leaves(state.params)[0].ravel()[0]
-    )
-    dt = (time.perf_counter() - t0) / ITERS
+    rates = []
+    for _block in range(BLOCKS):
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            state, metrics = step(state, st, labels, host0, key)
+        _ = float(metrics["loss/loss"]) + float(
+            jax.tree_util.tree_leaves(state.params)[0].ravel()[0]
+        )
+        dt = (time.perf_counter() - t0) / ITERS
+        rates.append(BATCH / dt)
 
-    events_per_s = BATCH / dt
+    import numpy as _np
+
+    events_per_s = float(_np.mean(rates))
+    std = float(_np.std(rates))
     print(
         json.dumps(
             {
@@ -135,6 +189,19 @@ def main():
                 "vs_baseline": round(
                     events_per_s / ASSUMED_A100_MINKOWSKI_EVENTS_PER_S, 3
                 ),
+                "std": round(std, 3),
+                "blocks": [round(r, 2) for r in rates],
+                "overflow_dropped": dropped,  # must be 0: no silent pair loss
+                "config": {
+                    "batch": BATCH,
+                    "max_voxels": MAX_VOXELS,
+                    "active_voxels": ACTIVE_VOXELS,
+                    "grid": list(GRID),
+                    "precision": "bfloat16",
+                    "remat": remat,
+                    "host_plans": host_plans,
+                    "iters_per_block": ITERS,
+                },
             }
         )
     )

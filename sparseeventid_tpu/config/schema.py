@@ -243,6 +243,13 @@ class ConvRepresentation(Repr):
     growth_rate: GrowthRate = GrowthRate.additive
     downsampling: DownSampling = DownSampling.convolutional
     leakiness: float = 0.333  # scn.LeakyReLU default leak
+    # Legacy 2D multiplane topology (src/networks/torch/sparseresnet.py:
+    # 194-334): shared-plane [1,k,k] layers up to plane_merge_depth, then
+    # cross-plane [3,k,k] kernels mix the plane axis ("post-merge" stage).
+    # -1 = never merge (plane-shared all the way, the current-stack default).
+    plane_merge_depth: int = -1
+    # Per-label final BlockSeries before the heads (sparseresnet.py:285-333)
+    per_label_final_series: bool = False
 
 
 @dataclass

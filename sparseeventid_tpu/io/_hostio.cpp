@@ -217,7 +217,332 @@ PyObject* assemble_sparse_batch(PyObject*, PyObject* args, PyObject* kwargs) {
   return (PyObject*)out;
 }
 
+// ---------------------------------------------------------------------------
+// Host-side window-plan construction (the role larcv3's C++ threads play for
+// IO, extended to the conv engine): the site-set pyramid and every window
+// plan are pure functions of the input coordinates, so the prefetch workers
+// build them here and ship plain arrays — the device never runs the Pallas
+// plan kernel or the sort-based overflow compaction on the hot path
+// (ops/pallas/window_conv.py does the same job on-device for synthetic
+// dryruns and tests).  Window geometry must mirror window_conv.py exactly:
+// TILE_T=128 query rows per tile, WINDOW_R rows per window, starts aligned
+// to 16, table padded to round_up(cap, 128) + PLAN_R rows.
+// ---------------------------------------------------------------------------
+
+#include "_hostio_core.h"
+
+using hostio_core::EventPlans;
+using hostio_core::LevelData;
+using hostio_core::PlanResult;
+using hostio_core::PlanShape;
+using hostio_core::build_event_plans;
+using hostio_core::enumerate_offsets;
+using hostio_core::kTileT;
+
+// Pack one PlanResult across the batch into the output dict.
+void pack_plan(PyObject* dict, const char* prefix,
+               const std::vector<EventPlans>& evs,
+               const PlanResult EventPlans::*member, long n_tiles, long k,
+               long cap_s) {
+  const long b = long(evs.size());
+  npy_intp sshape[3] = {b, n_tiles, k};
+  PyArrayObject* start =
+      (PyArrayObject*)PyArray_SimpleNew(3, sshape, NPY_INT32);
+  npy_intp oshape[2] = {b, cap_s};
+  PyArrayObject* src = (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_INT32);
+  PyArrayObject* dst = (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_INT32);
+  PyArrayObject* kk = (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_INT32);
+  PyArrayObject* valid =
+      (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_BOOL);
+  npy_intp dshape[1] = {b};
+  PyArrayObject* dropped =
+      (PyArrayObject*)PyArray_SimpleNew(1, dshape, NPY_INT32);
+  for (long i = 0; i < b; ++i) {
+    const PlanResult& pr = evs[size_t(i)].*member;
+    std::memcpy((int32_t*)PyArray_DATA(start) + i * n_tiles * k,
+                pr.start.data(), sizeof(int32_t) * size_t(n_tiles * k));
+    int32_t* sp = (int32_t*)PyArray_DATA(src) + i * cap_s;
+    int32_t* dp = (int32_t*)PyArray_DATA(dst) + i * cap_s;
+    int32_t* kp = (int32_t*)PyArray_DATA(kk) + i * cap_s;
+    npy_bool* vp = (npy_bool*)PyArray_DATA(valid) + i * cap_s;
+    const long nsc = long(pr.sc.src.size());
+    for (long s = 0; s < cap_s; ++s) {
+      sp[s] = s < nsc ? pr.sc.src[size_t(s)] : 0;
+      dp[s] = s < nsc ? pr.sc.dst[size_t(s)] : 0;
+      kp[s] = s < nsc ? pr.sc.kk[size_t(s)] : 0;
+      vp[s] = s < nsc;
+    }
+    ((int32_t*)PyArray_DATA(dropped))[i] =
+        int32_t(std::max<int64_t>(pr.sc.total - nsc, 0));
+  }
+  char buf[96];
+  auto set = [&](const char* name, PyArrayObject* arr) {
+    snprintf(buf, sizeof(buf), "%s/%s", prefix, name);
+    PyDict_SetItemString(dict, buf, (PyObject*)arr);
+    Py_DECREF(arr);
+  };
+  set("start", start);
+  set("ov_src", src);
+  set("ov_dst", dst);
+  set("ov_k", kk);
+  set("ov_valid", valid);
+  set("ov_dropped", dropped);
+}
+
+PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
+  PyObject* coords_obj;  // i32[B, cap0, 3] padded (-1)
+  PyObject* grid_obj;    // (3,) ints
+  PyObject* caps_obj;    // per-level capacities, len depth+1
+  PyObject* init_k_obj;  // initial kernel, e.g. (5,5,5)
+  PyObject* ser_k_obj;   // series kernel, e.g. (3,3,3)
+  PyObject* stride_obj;  // (2,2,2) or (1,2,2)
+  long window_r;
+  PyObject* ov_caps_obj;      // per-level series overflow caps
+  long ov_cap_initial;
+  PyObject* ov_caps_down_obj; // per-level downsample overflow caps
+  long window_r_down = 0;     // fwd downsample window (parent ~2x denser)
+  static const char* kwlist[] = {
+      "coords", "grid", "caps", "initial_kernel", "series_kernel", "stride",
+      "window_r", "ov_caps", "ov_cap_initial", "ov_caps_down",
+      "window_r_down", nullptr};
+  if (!PyArg_ParseTupleAndKeywords(
+          args, kwargs, "OOOOOOlOlO|l", const_cast<char**>(kwlist),
+          &coords_obj, &grid_obj, &caps_obj, &init_k_obj, &ser_k_obj,
+          &stride_obj, &window_r, &ov_caps_obj, &ov_cap_initial,
+          &ov_caps_down_obj, &window_r_down))
+    return nullptr;
+  if (window_r_down <= 0) window_r_down = window_r;
+
+  PyArrayObject* coords = (PyArrayObject*)PyArray_FROM_OTF(
+      coords_obj, NPY_INT32, NPY_ARRAY_C_CONTIGUOUS | NPY_ARRAY_ALIGNED);
+  if (!coords) return nullptr;
+  if (PyArray_NDIM(coords) != 3 || PyArray_DIM(coords, 2) != 3) {
+    Py_DECREF(coords);
+    PyErr_SetString(PyExc_ValueError, "coords must be [B, N, 3]");
+    return nullptr;
+  }
+  const long b = long(PyArray_DIM(coords, 0));
+  const long cap0 = long(PyArray_DIM(coords, 1));
+
+  int64_t grid[3];
+  long init_k[3], ser_k[3], stride[3];
+  for (int d = 0; d < 3; ++d) {
+    grid[d] = PyLong_AsLongLong(PySequence_GetItem(grid_obj, d));
+    init_k[d] = PyLong_AsLong(PySequence_GetItem(init_k_obj, d));
+    ser_k[d] = PyLong_AsLong(PySequence_GetItem(ser_k_obj, d));
+    stride[d] = PyLong_AsLong(PySequence_GetItem(stride_obj, d));
+  }
+  const long depth = long(PySequence_Size(caps_obj)) - 1;
+  std::vector<long> caps(depth + 1);
+  for (long l = 0; l <= depth; ++l)
+    caps[size_t(l)] = PyLong_AsLong(PySequence_GetItem(caps_obj, l));
+  if (caps[0] != cap0) {
+    Py_DECREF(coords);
+    PyErr_SetString(PyExc_ValueError, "caps[0] must equal coords.shape[1]");
+    return nullptr;
+  }
+  std::vector<PlanShape> series_ps(depth + 1), down_ps(std::max(depth, 1L));
+  for (long l = 0; l <= depth; ++l)
+    series_ps[size_t(l)] = {window_r,
+                            PyLong_AsLong(PySequence_GetItem(ov_caps_obj, l))};
+  for (long l = 0; l < depth; ++l)
+    down_ps[size_t(l)] = {
+        window_r_down,
+        PyLong_AsLong(PySequence_GetItem(ov_caps_down_obj, l))};
+  PlanShape initial_ps = {window_r, ov_cap_initial};
+
+  std::vector<EventPlans> evs(static_cast<size_t>(b));
+  const int32_t* cdata = (const int32_t*)PyArray_DATA(coords);
+
+  Py_BEGIN_ALLOW_THREADS
+  unsigned n_threads =
+      std::min<unsigned>(std::thread::hardware_concurrency(), unsigned(b));
+  std::atomic<long> next(0);
+  auto work = [&]() {
+    for (;;) {
+      long i = next.fetch_add(1);
+      if (i >= b) return;
+      build_event_plans(cdata + i * cap0 * 3, cap0, grid, caps.data(), depth,
+                        init_k, ser_k, stride, series_ps.data(), initial_ps,
+                        down_ps.data(), window_r, &evs[size_t(i)]);
+    }
+  };
+  if (n_threads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned t = 0; t < n_threads; ++t) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  Py_END_ALLOW_THREADS
+
+  PyObject* dict = PyDict_New();
+  char buf[96];
+  std::vector<long> s_offs, i_offs, d_offs;
+  enumerate_offsets(ser_k, true, &s_offs);
+  enumerate_offsets(init_k, true, &i_offs);
+  enumerate_offsets(stride, false, &d_offs);
+  const long ks = long(s_offs.size() / 3);
+  const long ki = long(i_offs.size() / 3), kd = long(d_offs.size() / 3);
+
+  for (long l = 0; l <= depth; ++l) {
+    const long cap = caps[size_t(l)];
+    const long n_tiles = (cap + kTileT - 1) / kTileT;
+    // level coords + n_active (+ down_dropped)
+    npy_intp cshape[3] = {b, cap, 3};
+    PyArrayObject* lc = (PyArrayObject*)PyArray_SimpleNew(3, cshape, NPY_INT32);
+    npy_intp nshape[1] = {b};
+    PyArrayObject* na = (PyArrayObject*)PyArray_SimpleNew(1, nshape, NPY_INT32);
+    PyArrayObject* dd = (PyArrayObject*)PyArray_SimpleNew(1, nshape, NPY_INT32);
+    for (long i = 0; i < b; ++i) {
+      const LevelData& lv = evs[size_t(i)].levels[size_t(l)];
+      int32_t* dst0 = (int32_t*)PyArray_DATA(lc) + i * cap * 3;
+      const long n = long(lv.keys.size());
+      std::memcpy(dst0, lv.coords.data(), sizeof(int32_t) * size_t(n * 3));
+      for (long r = n * 3; r < cap * 3; ++r) dst0[r] = -1;
+      ((int32_t*)PyArray_DATA(na))[i] = int32_t(n);
+      ((int32_t*)PyArray_DATA(dd))[i] = int32_t(lv.dropped);
+    }
+    snprintf(buf, sizeof(buf), "lvl%ld/coords", l);
+    PyDict_SetItemString(dict, buf, (PyObject*)lc);
+    Py_DECREF(lc);
+    snprintf(buf, sizeof(buf), "lvl%ld/n_active", l);
+    PyDict_SetItemString(dict, buf, (PyObject*)na);
+    Py_DECREF(na);
+    snprintf(buf, sizeof(buf), "lvl%ld/site_dropped", l);
+    PyDict_SetItemString(dict, buf, (PyObject*)dd);
+    Py_DECREF(dd);
+
+    snprintf(buf, sizeof(buf), "lvl%ld/series", l);
+    {
+      std::string p(buf);
+      // pack via a small adapter: PlanResult member pointers don't work for
+      // vector entries, so inline the packing for series here.
+      struct Tmp { PlanResult EventPlans::*m; };
+      // inline pack:
+      const long cap_s = series_ps[size_t(l)].overflow_cap;
+      // temporary EventPlans view selecting series[l]
+      std::vector<EventPlans> view;  // avoided: pack manually below
+      npy_intp sshape[3] = {b, n_tiles, ks};
+      PyArrayObject* start =
+          (PyArrayObject*)PyArray_SimpleNew(3, sshape, NPY_INT32);
+      npy_intp oshape[2] = {b, cap_s};
+      PyArrayObject* srcA =
+          (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_INT32);
+      PyArrayObject* dstA =
+          (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_INT32);
+      PyArrayObject* kkA =
+          (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_INT32);
+      PyArrayObject* valA =
+          (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_BOOL);
+      npy_intp dshape2[1] = {b};
+      PyArrayObject* drA =
+          (PyArrayObject*)PyArray_SimpleNew(1, dshape2, NPY_INT32);
+      for (long i = 0; i < b; ++i) {
+        const PlanResult& pr = evs[size_t(i)].series[size_t(l)];
+        std::memcpy((int32_t*)PyArray_DATA(start) + i * n_tiles * ks,
+                    pr.start.data(), sizeof(int32_t) * size_t(n_tiles * ks));
+        int32_t* sp = (int32_t*)PyArray_DATA(srcA) + i * cap_s;
+        int32_t* dp = (int32_t*)PyArray_DATA(dstA) + i * cap_s;
+        int32_t* kp = (int32_t*)PyArray_DATA(kkA) + i * cap_s;
+        npy_bool* vp = (npy_bool*)PyArray_DATA(valA) + i * cap_s;
+        const long nsc = long(pr.sc.src.size());
+        for (long s = 0; s < cap_s; ++s) {
+          sp[s] = s < nsc ? pr.sc.src[size_t(s)] : 0;
+          dp[s] = s < nsc ? pr.sc.dst[size_t(s)] : 0;
+          kp[s] = s < nsc ? pr.sc.kk[size_t(s)] : 0;
+          vp[s] = s < nsc;
+        }
+        ((int32_t*)PyArray_DATA(drA))[i] =
+            int32_t(std::max<int64_t>(pr.sc.total - nsc, 0));
+      }
+      auto setp = [&](const char* name, PyArrayObject* arr) {
+        std::string key = p + "/" + name;
+        PyDict_SetItemString(dict, key.c_str(), (PyObject*)arr);
+        Py_DECREF(arr);
+      };
+      setp("start", start);
+      setp("ov_src", srcA);
+      setp("ov_dst", dstA);
+      setp("ov_k", kkA);
+      setp("ov_valid", valA);
+      setp("ov_dropped", drA);
+    }
+  }
+  // initial plan (level 0)
+  {
+    const long n_tiles0 = (caps[0] + kTileT - 1) / kTileT;
+    pack_plan(dict, "initial", evs, &EventPlans::initial, n_tiles0, ki,
+              initial_ps.overflow_cap);
+  }
+  // downsample plans: pack manually per level (vector members)
+  for (long l = 0; l < depth; ++l) {
+    const long ch_tiles = (caps[size_t(l + 1)] + kTileT - 1) / kTileT;
+    const long pa_tiles = (caps[size_t(l)] + kTileT - 1) / kTileT;
+    const long cap_s = down_ps[size_t(l)].overflow_cap;
+    auto pack_vec = [&](const char* name, bool fwd) {
+      const long nt = fwd ? ch_tiles : pa_tiles;
+      npy_intp sshape[3] = {b, nt, kd};
+      PyArrayObject* start =
+          (PyArrayObject*)PyArray_SimpleNew(3, sshape, NPY_INT32);
+      npy_intp oshape[2] = {b, cap_s};
+      PyArrayObject* srcA =
+          (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_INT32);
+      PyArrayObject* dstA =
+          (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_INT32);
+      PyArrayObject* kkA =
+          (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_INT32);
+      PyArrayObject* valA =
+          (PyArrayObject*)PyArray_SimpleNew(2, oshape, NPY_BOOL);
+      npy_intp dshape2[1] = {b};
+      PyArrayObject* drA =
+          (PyArrayObject*)PyArray_SimpleNew(1, dshape2, NPY_INT32);
+      for (long i = 0; i < b; ++i) {
+        const PlanResult& pr = fwd ? evs[size_t(i)].down_f[size_t(l)]
+                                   : evs[size_t(i)].down_r[size_t(l)];
+        std::memcpy((int32_t*)PyArray_DATA(start) + i * nt * kd,
+                    pr.start.data(), sizeof(int32_t) * size_t(nt * kd));
+        int32_t* sp = (int32_t*)PyArray_DATA(srcA) + i * cap_s;
+        int32_t* dp = (int32_t*)PyArray_DATA(dstA) + i * cap_s;
+        int32_t* kp = (int32_t*)PyArray_DATA(kkA) + i * cap_s;
+        npy_bool* vp = (npy_bool*)PyArray_DATA(valA) + i * cap_s;
+        const long nsc = long(pr.sc.src.size());
+        for (long s = 0; s < cap_s; ++s) {
+          sp[s] = s < nsc ? pr.sc.src[size_t(s)] : 0;
+          dp[s] = s < nsc ? pr.sc.dst[size_t(s)] : 0;
+          kp[s] = s < nsc ? pr.sc.kk[size_t(s)] : 0;
+          vp[s] = s < nsc;
+        }
+        ((int32_t*)PyArray_DATA(drA))[i] =
+            int32_t(std::max<int64_t>(pr.sc.total - nsc, 0));
+      }
+      char kbuf[96];
+      auto setp = [&](const char* nm, PyArrayObject* arr) {
+        snprintf(kbuf, sizeof(kbuf), "lvl%ld/%s/%s", l, name, nm);
+        PyDict_SetItemString(dict, kbuf, (PyObject*)arr);
+        Py_DECREF(arr);
+      };
+      setp("start", start);
+      setp("ov_src", srcA);
+      setp("ov_dst", dstA);
+      setp("ov_k", kkA);
+      setp("ov_valid", valA);
+      setp("ov_dropped", drA);
+    };
+    pack_vec("down_f", true);
+    pack_vec("down_r", false);
+  }
+
+  Py_DECREF(coords);
+  return dict;
+}
+
 PyMethodDef methods[] = {
+    {"build_window_plans", (PyCFunction)build_window_plans,
+     METH_VARARGS | METH_KEYWORDS,
+     "Threaded host-side site-pyramid + window-plan construction.\n"
+     "Returns a dict of numpy arrays keyed lvl<l>/{coords,n_active,\n"
+     "site_dropped,series/*,down_f/*,down_r/*} and initial/*."},
     {"assemble_sparse_batch", (PyCFunction)assemble_sparse_batch,
      METH_VARARGS | METH_KEYWORDS,
      "Threaded event->padded-COO batch assembly (larcv BatchFiller "

@@ -50,6 +50,48 @@ def assemble_sparse_batch(
     )
 
 
+def build_window_plans(
+    coords: np.ndarray,  # i32[B, cap0, 3], -1 padded (unsorted ok)
+    grid: Sequence[int],
+    caps: Sequence[int],
+    initial_kernel: Sequence[int],
+    series_kernel: Sequence[int],
+    stride: Sequence[int],
+    window_r: int,
+    ov_caps: Sequence[int],
+    ov_cap_initial: int,
+    ov_caps_down: Sequence[int],
+    window_r_down: int = 0,
+) -> dict:
+    """Threaded host-side site-pyramid + window-plan construction.
+
+    Pure function of the input coordinates — the prefetch workers run this so
+    the device never pays for plan kernels or overflow compaction (the role
+    larcv3's C++ reader threads play in the reference, extended to the conv
+    engine).  Geometry mirrors ops/pallas/window_conv.py exactly; see the
+    C++ (io/_hostio.cpp build_window_plans).  Requires the native extension —
+    the device-side plan builders are the fallback when it is absent.
+    """
+    if not HAVE_NATIVE:
+        raise RuntimeError(
+            "native _hostio extension unavailable; use the on-device plan "
+            "builders (ops.engine) instead"
+        )
+    return _hostio.build_window_plans(
+        np.ascontiguousarray(coords, np.int32),
+        tuple(int(g) for g in grid),
+        [int(c) for c in caps],
+        tuple(int(k) for k in initial_kernel),
+        tuple(int(k) for k in series_kernel),
+        tuple(int(s) for s in stride),
+        int(window_r),
+        [int(c) for c in ov_caps],
+        int(ov_cap_initial),
+        [int(c) for c in ov_caps_down],
+        int(window_r_down),
+    )
+
+
 def _assemble_numpy(
     events, max_voxels, dims, normalize, augment, blur_sigma, translate, seed
 ) -> np.ndarray:

@@ -190,16 +190,28 @@ class ConvolutionDownsample(nn.Module):
     backend: str = "xla"
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
-        skeleton, plan, ds_dropped = build_downsample_plan(
-            st, self.stride, self.out_capacity, backend=self.backend
-        )
-        self.sow(
-            "diagnostics", "dropped",
-            jnp.sum(ds_dropped) + plan_overflow_dropped(plan),
-            reduce_fn=lambda a, b: a + b,
-            init_fn=lambda: jnp.zeros((), jnp.int32),
-        )
+    def __call__(
+        self, st: SparseTensor, train: bool, precomputed=None
+    ) -> SparseTensor:
+        if precomputed is not None:
+            # host-built site set + (fwd, rev) plans; site_dropped is sowed
+            # once by the encoder from the host totals
+            skeleton, plan = precomputed
+            self.sow(
+                "diagnostics", "dropped", plan_overflow_dropped(plan),
+                reduce_fn=lambda a, b: a + b,
+                init_fn=lambda: jnp.zeros((), jnp.int32),
+            )
+        else:
+            skeleton, plan, ds_dropped = build_downsample_plan(
+                st, self.stride, self.out_capacity, backend=self.backend
+            )
+            self.sow(
+                "diagnostics", "dropped",
+                jnp.sum(ds_dropped) + plan_overflow_dropped(plan),
+                reduce_fn=lambda a, b: a + b,
+                init_fn=lambda: jnp.zeros((), jnp.int32),
+            )
         k = 1
         for sdim in self.stride:
             k *= int(sdim)
@@ -225,7 +237,11 @@ class PoolingDownsample(nn.Module):
     backend: str = "xla"  # pooling keeps the XLA gather path (cold)
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool) -> SparseTensor:
+    def __call__(
+        self, st: SparseTensor, train: bool, precomputed=None
+    ) -> SparseTensor:
+        # pooling is a cold path: host plans are ignored, the site set is
+        # rebuilt on device (identical ascending-key order)
         skeleton, rb, ds_dropped = build_downsample_plan(
             st, self.stride, self.out_capacity, backend="xla"
         )

@@ -19,7 +19,7 @@ from ..config.schema import (
 )
 from ..ops import SparseTensor
 from .encoder import Encoder, capacity_schedule, encoder_output_shape
-from .heads import MultiHeadOutput, pool_encoded
+from .heads import DenseChainHead, MultiHeadOutput, pool_encoded
 
 
 class SparseEventClassifier(nn.Module):
@@ -41,7 +41,9 @@ class SparseEventClassifier(nn.Module):
     backend: str = "xla"
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = True) -> Dict[str, jax.Array]:
+    def __call__(
+        self, st: SparseTensor, train: bool = True, plans=None
+    ) -> Dict[str, jax.Array]:
         encoded = Encoder(
             self.encoder_cfg,
             self.dimension,
@@ -50,7 +52,37 @@ class SparseEventClassifier(nn.Module):
             remat=self.remat,
             backend=self.backend,
             name="encoder",
-        )(st, train)
+        )(st, train, plans)
+        if getattr(self.encoder_cfg, "per_label_final_series", False):
+            # legacy multiplane topology: one final BlockSeries per label on
+            # the shared encoder output, then per-label pool + head
+            # (sparseresnet.py:285-333). All label series share one plan
+            # (same site set).
+            from ..models.blocks import SparseBlockSeries
+            from ..ops.engine import build_series_plan
+
+            if self.dimension == 2 and getattr(
+                self.encoder_cfg, "plane_merge_depth", -1
+            ) >= 0:
+                ksz = (3,) * 3
+            elif self.dimension == 2:
+                ksz = (1, self.encoder_cfg.filter_size,
+                       self.encoder_cfg.filter_size)
+            else:
+                ksz = (self.encoder_cfg.filter_size,) * self.dimension
+            rb = build_series_plan(encoded, ksz, backend=self.backend)
+            logits = {}
+            for key, n in self.output_shape.items():
+                branch = SparseBlockSeries(
+                    self.encoder_cfg.blocks_per_layer,
+                    self.encoder_cfg,
+                    axis_name=self.axis_name,
+                    name=f"final_series_{key}",
+                )(encoded, rb, train)
+                logits[key] = DenseChainHead(
+                    n, self.head_hidden, self.head_dropout, name=f"head_{key}"
+                )(pool_encoded(branch), train)
+            return logits
         pooled = pool_encoded(encoded)
         return MultiHeadOutput(
             self.output_shape, self.head_hidden, self.head_dropout, name="head"

@@ -73,8 +73,14 @@ class Encoder(nn.Module):
     remat: bool = False  # jax.checkpoint each block series (HBM for FLOPs)
     backend: str = "xla"  # sparse conv engine (ops/engine.py)
 
-    def _kernel(self, k: int) -> Tuple[int, ...]:
+    def _kernel(self, k: int, level: int = 0) -> Tuple[int, ...]:
         if self.dimension == 2:
+            # legacy multiplane post-merge: cross-plane [3,k,k] kernels from
+            # plane_merge_depth onward (sparseresnet.py:194-334); [1,k,k]
+            # keeps plane-shared weights with no cross-plane mixing
+            pm = self.params.plane_merge_depth
+            if pm >= 0 and level >= pm:
+                return (3, k, k)
             return (1, k, k)
         return (k,) * self.dimension
 
@@ -93,15 +99,30 @@ class Encoder(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = True) -> SparseTensor:
+    def __call__(
+        self, st: SparseTensor, train: bool = True, plans=None
+    ) -> SparseTensor:
+        """plans: optional ops.host_plans.EncoderPlans — precomputed by the
+        C++ prefetch workers; when given, no plan construction runs on
+        device (production hot path)."""
         p = self.params
         caps = self.capacities or (None,) * (p.depth + 1)
 
         # Initial 5^d submanifold convolution (resnet.py:30-50)
         k5 = 1
-        for kk in self._kernel(5):
+        for kk in self._kernel(5, 0):
             k5 *= kk
-        rb = build_series_plan(st, self._kernel(5), backend=self.backend)
+        if plans is not None:
+            rb = plans.initial
+            self.sow(
+                "diagnostics", "dropped", plans.site_dropped,
+                reduce_fn=lambda a, b: a + b,
+                init_fn=lambda: jnp.zeros((), jnp.int32),
+            )
+        else:
+            rb = build_series_plan(
+                st, self._kernel(5, 0), backend=self.backend
+            )
         self._sow_overflow(rb)
         w0 = self.param(
             "initial_w", conv_init, (k5, st.num_channels, p.n_initial_filters)
@@ -114,7 +135,6 @@ class Encoder(nn.Module):
         st = apply_submanifold(st, rb, w0, b0)
 
         filters = p.n_initial_filters
-        block_kernel = self._kernel(p.filter_size)
         downsampler = (
             ConvolutionDownsample
             if p.downsampling == DownSampling.convolutional
@@ -126,7 +146,12 @@ class Encoder(nn.Module):
             else SparseBlockSeries
         )
         for i in range(p.depth):
-            rb = build_series_plan(st, block_kernel, backend=self.backend)
+            if plans is not None:
+                rb = plans.series[i]
+            else:
+                rb = build_series_plan(
+                    st, self._kernel(p.filter_size, i), backend=self.backend
+                )
             self._sow_overflow(rb)
             st = series_cls(
                 p.blocks_per_layer, p, axis_name=self.axis_name, name=f"series_{i}"
@@ -135,6 +160,9 @@ class Encoder(nn.Module):
                 next_filters = filters * 2
             else:
                 next_filters = filters + p.n_initial_filters
+            precomputed = (
+                (plans.skeletons[i], plans.down[i]) if plans is not None else None
+            )
             st = downsampler(
                 next_filters,
                 self._stride(),
@@ -143,10 +171,15 @@ class Encoder(nn.Module):
                 axis_name=self.axis_name,
                 backend=self.backend,
                 name=f"down_{i}",
-            )(st, train)
+            )(st, train, precomputed)
             filters = next_filters
 
-        rb = build_series_plan(st, block_kernel, backend=self.backend)
+        if plans is not None:
+            rb = plans.series[p.depth]
+        else:
+            rb = build_series_plan(
+                st, self._kernel(p.filter_size, p.depth), backend=self.backend
+            )
         self._sow_overflow(rb)
         st = series_cls(
             p.blocks_per_layer, p, axis_name=self.axis_name, name="final_series"

@@ -42,16 +42,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _overflow_cap(capacity: int) -> int:
-    """Overflow sidecar capacity scaled to the level's voxel capacity
-    (measured out-of-window rates are <0.1% of pairs)."""
-    return max(256, min(2048, capacity // 16))
+def _overflow_cap(capacity: int, k: int = 27) -> int:
+    """Overflow sidecar capacity, scaled to the level's voxel capacity AND
+    to the offset count: candidates are dominated by queries whose anchor
+    block escaped the plan window, a per-(tile, offset) tail — a 5^3 kernel
+    (K=125) produces ~5x the candidates of a 3^3 one (K=27).  Measured on
+    dune3d-shaped tracks (scripts/check_window_tpu.py): K=27 fits in
+    capacity//16; K=125 overflowed a 1562 cap by ~2.4x."""
+    scale = max(1, -(-k // 27))
+    return max(256, min(12288, (capacity // 16) * scale))
 
 
 def build_series_plan(st: SparseTensor, kernel_size, backend: str = XLA):
     if backend == WINDOW:
+        k = 1
+        for ks in kernel_size:
+            k *= int(ks)
         return build_submanifold_window_plan(
-            st, kernel_size, overflow_cap=_overflow_cap(st.capacity),
+            st, kernel_size, overflow_cap=_overflow_cap(st.capacity, k),
             interpret=_interpret(),
         )
     return build_submanifold_rulebook(st, kernel_size)
@@ -75,8 +83,11 @@ def build_downsample_plan(
     sites lost to the static capacity per event (never silent)."""
     skeleton, dropped = downsample_sites(st, stride, out_capacity, with_dropped=True)
     if backend == WINDOW:
+        k = 1
+        for ss in stride:
+            k *= int(ss)
         plans = build_strided_window_plans(
-            st, skeleton, stride, overflow_cap=_overflow_cap(st.capacity),
+            st, skeleton, stride, overflow_cap=_overflow_cap(st.capacity, k),
             interpret=_interpret(),
         )
         return skeleton, plans, dropped

@@ -1,0 +1,179 @@
+"""Adapter: host-built window plans (io/_hostio.cpp build_window_plans) ->
+the WindowPlan / SparseTensor objects the encoder consumes.
+
+The heavy, data-dependent parts of plan construction (site pyramid sort +
+unique, exact window starts, overflow-pair compaction) happen in the C++
+prefetch workers; only the cheap elementwise query-key computation runs on
+device here (qkeys are [B, N, K] — too big to ship, trivial to recompute).
+
+The resulting EncoderPlans is a pytree, so it passes straight through jit /
+shard_map as a step input alongside the batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pallas.window_conv import (
+    INVALID_QUERY,
+    WINDOW_R,
+    WINDOW_R_STRIDED,
+    compute_query_keys,
+)
+from .pallas.window_engine import WindowPlan
+from .rulebook import kernel_offsets
+from .sparse_tensor import INVALID_KEY, SparseTensor, linearize
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EncoderPlans:
+    """Precomputed plans for one Encoder forward/backward pass."""
+
+    initial: WindowPlan  # 5^d plan on the level-0 site set
+    series: Tuple[WindowPlan, ...]  # per level 0..depth (3^d kernel)
+    down: Tuple[Tuple[WindowPlan, WindowPlan], ...]  # (fwd, rev) per level
+    skeletons: Tuple[SparseTensor, ...]  # site sets for levels 1..depth
+    site_dropped: jax.Array  # i32[] unique sites lost to level capacities
+
+
+def _plan_from_host(
+    host: Dict[str, jax.Array],
+    prefix: str,
+    qkeys: jax.Array,
+    q_active: jax.Array,
+    offsets: np.ndarray,
+    window_r: int = WINDOW_R,
+) -> WindowPlan:
+    return WindowPlan(
+        qkeys=qkeys,
+        start=host[f"{prefix}/start"],
+        q_active=q_active,
+        ov_src=host[f"{prefix}/ov_src"],
+        ov_dst=host[f"{prefix}/ov_dst"],
+        ov_k=host[f"{prefix}/ov_k"],
+        ov_valid=host[f"{prefix}/ov_valid"],
+        ov_dropped=host[f"{prefix}/ov_dropped"],
+        offsets=tuple(map(tuple, offsets.tolist())),
+        window_r=window_r,
+    )
+
+
+def _strided_qkeys(
+    skeleton: SparseTensor, parent: SparseTensor, stride, offs: np.ndarray
+) -> jax.Array:
+    """Forward downsample queries: out*stride + delta into the parent grid
+    (mirrors window_engine.build_strided_window_plans)."""
+    q = (
+        skeleton.coords[:, :, None, :] * jnp.asarray(stride, jnp.int32)
+        + jnp.asarray(offs, jnp.int32)[None, None]
+    )
+    in_bounds = jnp.all(
+        (q >= 0) & (q < jnp.asarray(parent.grid_shape, jnp.int32)), axis=-1
+    )
+    qk = linearize(q, parent.grid_shape)
+    valid = in_bounds & skeleton.row_mask()[:, :, None] & (qk != INVALID_KEY)
+    return jnp.where(valid, qk, INVALID_QUERY)
+
+
+def _reverse_qkeys(
+    st: SparseTensor, skeleton: SparseTensor, stride, k: int
+) -> jax.Array:
+    """Reverse downsample queries: one live column per input row (its parent
+    cell's key at the row's intra-cell offset)."""
+    stride_arr = jnp.asarray(stride, jnp.int32)
+    parent = st.coords // stride_arr
+    pkey = linearize(parent, skeleton.grid_shape)
+    rem = st.coords - parent * stride_arr
+    off_id = rem[..., 0]
+    for d in range(1, rem.shape[-1]):
+        off_id = off_id * np.int32(int(stride[d])) + rem[..., d]
+    mask = st.row_mask()
+    cols = jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    return jnp.where(
+        (off_id[..., None] == cols)
+        & mask[..., None]
+        & (pkey[..., None] != INVALID_KEY),
+        pkey[..., None],
+        INVALID_QUERY,
+    )
+
+
+def encoder_plans_from_host(
+    st0: SparseTensor,
+    host: Dict[str, jax.Array],
+    depth: int,
+    initial_kernel,
+    series_kernel,
+    stride,
+) -> EncoderPlans:
+    """Assemble EncoderPlans from the host plan dict (jit-traceable).
+
+    ``st0`` must be the level-0 SparseTensor built from the same batch the
+    plans were computed for (build_sparse_tensor's ascending-key sort matches
+    the host's — keys are unique, so the orders agree row for row).
+    """
+    i_offs = kernel_offsets(initial_kernel, centered=True)
+    s_offs = kernel_offsets(series_kernel, centered=True)
+    d_offs = kernel_offsets(stride, centered=False)
+    kd = len(d_offs)
+
+    levels = [st0]
+    grid = st0.grid_shape
+    for l in range(1, depth + 1):
+        grid = tuple(-(-g // int(s)) for g, s in zip(grid, stride))
+        coords = host[f"lvl{l}/coords"]
+        n_active = host[f"lvl{l}/n_active"]
+        levels.append(
+            SparseTensor(
+                coords=coords,
+                feats=jnp.zeros((*coords.shape[:2], 0), st0.feats.dtype),
+                n_active=n_active,
+                grid_shape=grid,
+            )
+        )
+
+    initial = _plan_from_host(
+        host, "initial",
+        compute_query_keys(st0, i_offs), st0.n_active, i_offs,
+    )
+    series = tuple(
+        _plan_from_host(
+            host, f"lvl{l}/series",
+            compute_query_keys(levels[l], s_offs),
+            levels[l].n_active, s_offs,
+        )
+        for l in range(depth + 1)
+    )
+    down = tuple(
+        (
+            _plan_from_host(
+                host, f"lvl{l}/down_f",
+                _strided_qkeys(levels[l + 1], levels[l], stride, d_offs),
+                levels[l + 1].n_active, d_offs,
+                window_r=WINDOW_R_STRIDED,
+            ),
+            _plan_from_host(
+                host, f"lvl{l}/down_r",
+                _reverse_qkeys(levels[l], levels[l + 1], stride, kd),
+                levels[l].n_active, d_offs,
+            ),
+        )
+        for l in range(depth)
+    )
+    site_dropped = sum(
+        (jnp.sum(host[f"lvl{l}/site_dropped"]) for l in range(1, depth + 1)),
+        jnp.zeros((), jnp.int32),
+    )
+    return EncoderPlans(
+        initial=initial,
+        series=series,
+        down=down,
+        skeletons=tuple(levels[1:]),
+        site_dropped=site_dropped,
+    )

@@ -6,19 +6,30 @@ dune3d training step gather-bound (~26 s).  This engine removes random access
 entirely by exploiting the sorted-COO invariant (sparse_tensor.py):
 
   * Neighbor queries ``q = key_i + lin(delta)`` are monotone per offset, and
-    for detector-style data the matching row j sits within ~100 rows of i
-    (measured p99 <= 123 on dune3d-like tracks at every pyramid level).
-  * A 128-row **anchor array** ``keys[::A]`` gives each query an exact block:
-    keys[bl*A] <= q < keys[(bl+1)*A]  =>  match position in [bl*A, (bl+1)*A).
-  * Per output tile, a single dynamic VMEM slice of R consecutive table rows
-    covers (almost) all matches; the match matrix is built by **key equality**
+    for detector-style data the matching rows of one query tile span ~T rows
+    (span p99 <= ~220 at every pyramid level, scripts/measure_spans.py).
+  * The plan kernel computes an EXACT, 16-aligned window start per
+    (tile, offset) in two stages: a coarse anchor pass (keys[::A]) narrows
+    each query to a 128-row block, then the exact match positions inside a
+    staged PLAN_R-row window give the true minimum.  Exact starts let the
+    conv window shrink to WINDOW_R=176 rows (vs 256 when starts were
+    quantized to anchor blocks) at a <1% out-of-window pair rate.
+  * Per output tile, a dynamic VMEM slice of R consecutive table rows covers
+    (almost) all matches; the match matrix is built by **key equality**
     (keys are unique) and contracted on the MXU:
-        out[T] = (q[T] == win_keys[R]) @ win_table[R, C] @ W
+        out[T] = (win_keys[R] == q[T])^T @ win_table[R, C] @ W
+    The equality compare is laid out [R, T] so the 128-query tile fills the
+    lane dimension exactly — R pays no 128-lane padding, so shrinking R
+    shrinks the VPU compare cost linearly (the round-1 layout [T, R] padded
+    R up to a lane multiple, wasting 37% at R=160).
+  * Tiles past a batch element's ``n_active`` are skipped outright (the
+    static capacity is a budget, not the workload).
   * The rare out-of-window pairs are resolved exactly by a small compacted
     XLA sidecar (see window_engine) once per site set.
 
 Everything is static-shaped; the only data-dependent values are scalar window
-starts computed by the plan kernel (carried in SMEM).
+starts computed by the plan kernel (carried in SMEM) and the per-element
+live-tile counts.
 """
 
 from __future__ import annotations
@@ -32,14 +43,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..rulebook import kernel_offsets
 from ..sparse_tensor import INVALID_KEY, SparseTensor, linearize
 
-# Tunables (see module docstring): T output rows per tile, A anchor stride,
-# R window rows (2 blocks). All must be multiples of 8 for TPU tiling.
+# Tunables: T output rows per tile (lane dim of the compare), A anchor stride,
+# R conv window rows, PLAN_R plan-stage window rows. R/PLAN_R are sublane
+# dims — any multiple of 16 works; starts are aligned to 16 (bf16 sublane
+# tile) so dynamic slices stay tile-aligned.
 TILE_T = 128
 ANCHOR_A = 128
-WINDOW_R = 256
+WINDOW_R = 176       # submanifold default: table/query density ratio 1
+WINDOW_R_STRIDED = 320  # strided fwd: parent table is ~2x denser than the
+                        # child queries, so per-tile spans approach 2*T
+PLAN_R = 384
+START_ALIGN = 16
 
 # Sentinel for invalid queries: never equals a real key (>= 0) nor the
 # INVALID_KEY padding of the table.
@@ -75,65 +91,127 @@ def _pad_rows(x: jax.Array, n_to: int, fill) -> jax.Array:
 
 
 def _padded_table(keys: jax.Array, feats: jax.Array):
-    """Pad keys/feats so any window slice [start, start+R) is in range."""
+    """Pad keys/feats so any window slice [start, start+PLAN_R) is in range."""
     b, n = keys.shape
-    npad = _cdiv(n, ANCHOR_A) * ANCHOR_A + WINDOW_R
+    npad = _round_up(n, ANCHOR_A) + PLAN_R
     pk = _pad_rows(keys[..., None], npad, INVALID_KEY)[..., 0]
     pt = _pad_rows(feats, npad, 0)
     return pk, pt
 
 
+def _live_tiles(n_active: jax.Array, m: int) -> jax.Array:
+    """i32[B] — number of query tiles with at least one live row."""
+    n_tiles = _cdiv(m, TILE_T)
+    return jnp.minimum(
+        (n_active.astype(jnp.int32) + TILE_T - 1) // TILE_T, n_tiles
+    )
+
+
 # --------------------------------------------------------------------------
-# Plan kernel: anchors -> per-(tile, offset) window start + uncovered mask
+# Plan kernel: exact 16-aligned window start per (tile, offset) + uncovered
 # --------------------------------------------------------------------------
 
-def _plan_kernel(anchors_ref, qk_ref, start_ref, uncov_ref, *, k, n_anchor):
-    anchors = anchors_ref[0, 0, :]  # [n_anchor_pad]
+def _plan_kernel(
+    live_ref,  # SMEM i32[1, 1] live tile count for this batch element
+    anchors_ref,  # [1, n_anchor_pad, 1] VMEM (sublane-major)
+    keys_ref,  # [1, Npad, 1] VMEM (sublane-major)
+    qk_ref,  # [1, T, K] VMEM
+    start_ref,  # [1, n_tiles, K] SMEM out
+    uncov_ref,  # [1, T, K] VMEM out
+    *,
+    k: int,
+    npad: int,
+    r_conv: int,
+):
     tile = pl.program_id(1)
-    for kk in range(k):
-        q = qk_ref[0, :, kk]  # [T]
-        le = (anchors[None, :] <= q[:, None]) & (
-            anchors[None, :] != INVALID_KEY
-        )
-        bl = jnp.sum(le.astype(jnp.int32), axis=1) - 1  # [T], -1 = below keys[0]
-        valid = q >= 0
-        pos = bl * ANCHOR_A
-        big = jnp.int32(2**30)
-        start = jnp.min(jnp.where(valid & (bl >= 0), pos, big))
-        start = jnp.minimum(start, n_anchor * ANCHOR_A - WINDOW_R)
-        start = jnp.maximum(start, 0)
-        covered = (
-            valid
-            & (bl >= 0)
-            & (pos >= start)
-            & (pos + ANCHOR_A <= start + WINDOW_R)
-        )
-        start_ref[0, tile, kk] = start
-        uncov_ref[0, :, kk] = (valid & ~covered).astype(jnp.int32)
+    big = jnp.int32(2**30)
+
+    @pl.when(tile >= live_ref[pl.program_id(0), 0])
+    def _dead():
+        for kk in range(k):
+            start_ref[0, tile, kk] = 0
+        uncov_ref[0] = jnp.zeros(uncov_ref.shape[1:], uncov_ref.dtype)
+
+    @pl.when(tile < live_ref[pl.program_id(0), 0])
+    def _live():
+        anchors = anchors_ref[0, :, 0]  # [n_anchor_pad] sublane
+        qt = qk_ref[0].transpose(1, 0)  # [K, T] lanes=T
+        for kk in range(k):
+            q = qt[kk]  # [T] lane vector
+            valid = q >= 0
+            # coarse: anchor block per query ([n_anchor, T], lanes=T)
+            le = (anchors[:, None] <= q[None, :]) & (
+                anchors[:, None] != INVALID_KEY
+            )
+            bl = jnp.sum(le.astype(jnp.int32), axis=0) - 1  # [T]
+            pos_blk = bl * ANCHOR_A
+            coarse = jnp.min(jnp.where(valid & (bl >= 0), pos_blk, big))
+            coarse = jnp.minimum(coarse, npad - PLAN_R)
+            coarse = jnp.maximum(coarse, 0)
+            coarse = pl.multiple_of(coarse, ANCHOR_A)
+            # a query's match (if any) lies inside its anchor block; the
+            # block must sit inside the staged plan window for the exact
+            # position below to be trusted.
+            cov = (
+                (bl >= 0)
+                & (pos_blk >= coarse)
+                & (pos_blk + ANCHOR_A <= coarse + PLAN_R)
+            )
+            win = keys_ref[0, pl.ds(coarse, PLAN_R), 0]  # [PLAN_R] sublane
+            lt = (win[:, None] < q[None, :]).astype(jnp.int32)
+            # pos = clip(true insertion position, coarse, coarse + PLAN_R):
+            # exact for matches inside the plan window, clamped outside.
+            pos = coarse + jnp.sum(lt, axis=0)  # [T]
+            hit = jnp.any(win[:, None] == q[None, :], axis=0)  # [T]
+            live_min = jnp.min(
+                jnp.where(valid & cov & hit, pos, big)
+            )
+            # The conv window MUST stay a subset of the plan window: then
+            # ``inwin`` below is exact, and a ~cov query whose match still
+            # lands inside the conv window is never double-counted by the
+            # sidecar (it reads hit=True, inwin=True here).
+            start = (live_min // START_ALIGN) * START_ALIGN
+            start = jnp.minimum(start, coarse + PLAN_R - r_conv)
+            start = jnp.maximum(start, coarse)
+            inwin = hit & (pos >= start) & (pos < start + r_conv)
+            # candidates: matched-in-plan-but-outside-conv-window (exact),
+            # plus anything whose anchor block escaped the plan window
+            # (may be matched beyond it; the sidecar's exact lookup drops
+            # the unmatched ones).
+            uncovered = valid & (bl >= 0) & (~inwin) & (hit | ~cov)
+            start_ref[0, tile, kk] = start
+            uncov_ref[0, :, kk] = uncovered.astype(jnp.int32)
 
 
 def window_plan(
     padded_keys: jax.Array,  # [B, Npad] (INVALID_KEY padded)
     qkeys: jax.Array,  # [B, N, K]
+    n_active: jax.Array,  # i32[B] live rows on the QUERY side
     interpret: bool = False,
+    window_r: int = WINDOW_R,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (start i32[B, n_tiles, K], uncovered i32[B, N, K])."""
     b, npad = padded_keys.shape
     _, n, k = qkeys.shape
     n_tiles = _cdiv(n, TILE_T)
     n_anchor = npad // ANCHOR_A
-    n_anchor_pad = _round_up(n_anchor, 128)
+    n_anchor_pad = _round_up(n_anchor, 8)
     anchors = padded_keys[:, :: ANCHOR_A][:, :n_anchor]
     anchors = jnp.pad(
         anchors, ((0, 0), (0, n_anchor_pad - n_anchor)),
         constant_values=INVALID_KEY,
-    )[:, None, :]  # [B, 1, n_anchor_pad]
-    kern = functools.partial(_plan_kernel, k=k, n_anchor=n_anchor)
+    )[..., None]  # [B, n_anchor_pad, 1]
+    live2 = _live_tiles(n_active, n)[:, None]
+    kern = functools.partial(_plan_kernel, k=k, npad=npad, r_conv=window_r)
     start, uncov = pl.pallas_call(
         kern,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, n_anchor_pad), lambda bb, i: (bb, 0, 0),
+            pl.BlockSpec(live2.shape, lambda bb, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_anchor_pad, 1), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, 1), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_T, k), lambda bb, i: (bb, i, 0),
                          memory_space=pltpu.VMEM),
@@ -152,7 +230,12 @@ def window_plan(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(anchors, _pad_rows(qkeys, n_tiles * TILE_T, INVALID_QUERY))
+    )(
+        live2,
+        anchors,
+        padded_keys[..., None],
+        _pad_rows(qkeys, n_tiles * TILE_T, INVALID_QUERY),
+    )
     return start, uncov[:, :n]
 
 
@@ -161,67 +244,82 @@ def window_plan(
 # --------------------------------------------------------------------------
 
 def _conv_kernel(
-    keys_ref,  # [1, 1, Npad] VMEM
+    live_ref,  # SMEM i32[1]
+    keys_ref,  # [1, Npad, 1] VMEM (sublane-major)
     table_ref,  # [1, Npad, C] VMEM
     qk_ref,  # [1, T, K] VMEM
-    start_ref,  # [1, n_tiles, K] VMEM (full)
+    start_ref,  # [1, n_tiles, K] SMEM (full)
     w_ref,  # [KC_pad, CO] VMEM
     out_ref,  # [1, T, CO] VMEM
     g_scratch,  # [T, KC_pad] VMEM
-    sk_scratch,  # [K, R] i32 VMEM (staged window keys)
+    oh_scratch,  # [K, R, T] VMEM (match one-hots)
     s_scratch,  # [K, R, C] VMEM (staged window tables)
     *,
     k: int,
     c: int,
     kc_pad: int,
+    window_r: int,
 ):
     tile = pl.program_id(1)
-    if kc_pad > k * c:
-        g_scratch[:, k * c :] = jnp.zeros_like(g_scratch[:, k * c :])
-    # Stage all K windows, then TWO batched MXU ops instead of 27 small ones.
-    for kk in range(k):
-        start = pl.multiple_of(start_ref[0, tile, kk], ANCHOR_A)
-        sk_scratch[kk] = keys_ref[0, 0, pl.ds(start, WINDOW_R)]
-        s_scratch[kk] = table_ref[0, pl.ds(start, WINDOW_R), :]
-    q = qk_ref[0]  # [T, K]
-    onehot = (
-        q.transpose(1, 0)[:, :, None] == sk_scratch[:][:, None, :]
-    ).astype(s_scratch.dtype)  # [K, T, R]
-    gkt = jax.lax.dot_general(  # [K, T, C]
-        onehot, s_scratch[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(g_scratch.dtype)
-    for kk in range(k):  # flat layout for the single big GEMM
-        g_scratch[:, kk * c : (kk + 1) * c] = gkt[kk]
-    out_ref[0] = jax.lax.dot_general(
-        g_scratch[:], w_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+
+    @pl.when(tile >= live_ref[pl.program_id(0), 0])
+    def _dead():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+
+    @pl.when(tile < live_ref[pl.program_id(0), 0])
+    def _live():
+        if kc_pad > k * c:
+            g_scratch[:, k * c:] = jnp.zeros_like(g_scratch[:, k * c:])
+        qt = qk_ref[0].transpose(1, 0)  # [K, T] lanes=T
+        for kk in range(k):
+            start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
+            win = keys_ref[0, pl.ds(start, window_r), 0]  # [R] sublane
+            oh_scratch[kk] = (
+                win[:, None] == qt[kk][None, :]
+            ).astype(oh_scratch.dtype)  # [R, T]
+            s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
+        gkt = jax.lax.dot_general(  # [K, T, C]
+            oh_scratch[:], s_scratch[:],
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(g_scratch.dtype)
+        for kk in range(k):  # flat layout for the single big GEMM
+            g_scratch[:, kk * c: (kk + 1) * c] = gkt[kk]
+        out_ref[0] = jax.lax.dot_general(
+            g_scratch[:], w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
 
 
 def _gather_kernel(
-    keys_ref, table_ref, qk_ref, start_ref, g_ref, sk_scratch, s_scratch,
-    *, k: int, c: int
+    live_ref, keys_ref, table_ref, qk_ref, start_ref, g_ref,
+    oh_scratch, s_scratch, *, k: int, c: int, window_r: int
 ):
     """Variant emitting the gathered matrix g [T, K*C] (for dW)."""
     tile = pl.program_id(1)
-    for kk in range(k):
-        start = pl.multiple_of(start_ref[0, tile, kk], ANCHOR_A)
-        sk_scratch[kk] = keys_ref[0, 0, pl.ds(start, WINDOW_R)]
-        s_scratch[kk] = table_ref[0, pl.ds(start, WINDOW_R), :]
-    q = qk_ref[0]  # [T, K]
-    onehot = (
-        q.transpose(1, 0)[:, :, None] == sk_scratch[:][:, None, :]
-    ).astype(s_scratch.dtype)  # [K, T, R]
-    gkt = jax.lax.dot_general(
-        onehot, s_scratch[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).astype(g_ref.dtype)
-    for kk in range(k):
-        g_ref[0, :, kk * c : (kk + 1) * c] = gkt[kk]
+
+    @pl.when(tile >= live_ref[pl.program_id(0), 0])
+    def _dead():
+        g_ref[0] = jnp.zeros(g_ref.shape[1:], g_ref.dtype)
+
+    @pl.when(tile < live_ref[pl.program_id(0), 0])
+    def _live():
+        qt = qk_ref[0].transpose(1, 0)
+        for kk in range(k):
+            start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
+            win = keys_ref[0, pl.ds(start, window_r), 0]
+            oh_scratch[kk] = (
+                win[:, None] == qt[kk][None, :]
+            ).astype(oh_scratch.dtype)
+            s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
+        gkt = jax.lax.dot_general(
+            oh_scratch[:], s_scratch[:],
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(g_ref.dtype)
+        for kk in range(k):
+            g_ref[0, :, kk * c: (kk + 1) * c] = gkt[kk]
 
 
 def window_conv_apply(
@@ -230,7 +328,9 @@ def window_conv_apply(
     qkeys: jax.Array,  # [B, M, K] query keys of the output site set
     start: jax.Array,  # [B, n_tiles, K] from window_plan
     w: jax.Array,  # [K, C, CO]
+    q_active: jax.Array,  # i32[B] live rows on the query side
     interpret: bool = False,
+    window_r: int = WINDOW_R,
 ) -> jax.Array:
     """-> [B, M, CO] in-window contributions (overflow pairs excluded)."""
     b, m, k = qkeys.shape
@@ -243,12 +343,17 @@ def window_conv_apply(
     kc_pad = _round_up(k * c, 128)
     w2 = w.reshape(k * c, co).astype(feats.dtype)
     w2 = jnp.pad(w2, ((0, kc_pad - k * c), (0, 0)))
-    kern = functools.partial(_conv_kernel, k=k, c=c, kc_pad=kc_pad)
+    live2 = _live_tiles(q_active, m)[:, None]
+    kern = functools.partial(
+        _conv_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r
+    )
     out = pl.pallas_call(
         kern,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, npad), lambda bb, i: (bb, 0, 0),
+            pl.BlockSpec(live2.shape, lambda bb, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, npad, 1), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -264,14 +369,14 @@ def window_conv_apply(
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE_T, co), feats.dtype),
         scratch_shapes=[
             pltpu.VMEM((TILE_T, kc_pad), feats.dtype),
-            pltpu.VMEM((k, WINDOW_R), jnp.int32),
-            pltpu.VMEM((k, WINDOW_R, c), feats.dtype),
+            pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
+            pltpu.VMEM((k, window_r, c), feats.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(pk[:, None, :], pt, qk_p, start, w2)
+    )(live2, pk[..., None], pt, qk_p, start, w2)
     return out[:, :m]
 
 
@@ -280,7 +385,9 @@ def window_gather(
     feats: jax.Array,
     qkeys: jax.Array,
     start: jax.Array,
+    q_active: jax.Array,
     interpret: bool = False,
+    window_r: int = WINDOW_R,
 ) -> jax.Array:
     """-> g [B, M, K*C]: the gathered neighbor matrix (for dW)."""
     b, m, k = qkeys.shape
@@ -289,12 +396,15 @@ def window_gather(
     npad = pk.shape[1]
     n_tiles = _cdiv(m, TILE_T)
     qk_p = _pad_rows(qkeys, n_tiles * TILE_T, INVALID_QUERY)
-    kern = functools.partial(_gather_kernel, k=k, c=c)
+    live2 = _live_tiles(q_active, m)[:, None]
+    kern = functools.partial(_gather_kernel, k=k, c=c, window_r=window_r)
     g = pl.pallas_call(
         kern,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, npad), lambda bb, i: (bb, 0, 0),
+            pl.BlockSpec(live2.shape, lambda bb, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, npad, 1), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -307,12 +417,249 @@ def window_gather(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE_T, k * c), feats.dtype),
         scratch_shapes=[
-            pltpu.VMEM((k, WINDOW_R), jnp.int32),
-            pltpu.VMEM((k, WINDOW_R, c), feats.dtype),
+            pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
+            pltpu.VMEM((k, window_r, c), feats.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(pk[:, None, :], pt, qk_p, start)
+    )(live2, pk[..., None], pt, qk_p, start)
     return g[:, :m]
+
+
+# --------------------------------------------------------------------------
+# Overflow sidecar kernels: apply the compacted out-of-window pair lists.
+#
+# The XLA formulation (gather rows + one-hot einsum + vmapped scatter-add)
+# compiles pathologically slowly on TPU (~20 s per apply, superlinear in
+# module size) and was implicated in worker crashes inside jax.grad modules.
+# Here the pair list (a few thousand entries) is walked with a fori_loop of
+# dynamic-row VMEM reads/writes — tiny IR, seconds to compile, ~0.1-0.3 ms
+# to run.  The XLA twins in window_engine remain the interpret-mode path.
+# --------------------------------------------------------------------------
+
+# Mosaic cannot prove arbitrary dynamic sublane offsets are tile-aligned, so
+# single-row loads/stores go through an aligned 8-row block with a one-hot
+# row select (ROW_BLK rows of extra VPU work per sidecar entry — trivial).
+ROW_BLK = 8
+
+
+def _row_load(ref, idx, width):
+    """ref[0, idx:idx+1, :] for arbitrary dynamic idx (width-lane rows).
+
+    The select runs in f32: Mosaic cannot relayout an i1 mask produced on
+    (8,128) tiles onto bf16 (16,128) tiles, so the block is cast BEFORE the
+    mask applies."""
+    base = pl.multiple_of((idx // ROW_BLK) * ROW_BLK, ROW_BLK)
+    blk = ref[0, pl.ds(base, ROW_BLK), :].astype(jnp.float32)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (ROW_BLK, width), 0)
+        == idx - base
+    )
+    return jnp.sum(
+        jnp.where(sel, blk, 0.0), axis=0, keepdims=True
+    )  # [1, width] f32
+
+
+def _row_accum(ref, idx, contrib):
+    """ref[0, idx, :] += contrib[0, :] for arbitrary dynamic idx (f32 math,
+    see _row_load for the mask-relayout constraint)."""
+    base = pl.multiple_of((idx // ROW_BLK) * ROW_BLK, ROW_BLK)
+    blk = ref[0, pl.ds(base, ROW_BLK), :]
+    blk32 = blk.astype(jnp.float32)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, blk32.shape, 0) == idx - base
+    )
+    out = blk32 + jnp.where(sel, contrib.astype(jnp.float32), 0.0)
+    ref[0, pl.ds(base, ROW_BLK), :] = out.astype(blk.dtype)
+
+
+def _row_load2(ref, idx, width):
+    """ref[idx:idx+1, :] (2D ref) for arbitrary dynamic idx."""
+    base = pl.multiple_of((idx // ROW_BLK) * ROW_BLK, ROW_BLK)
+    blk = ref[pl.ds(base, ROW_BLK), :].astype(jnp.float32)
+    sel = (
+        jax.lax.broadcasted_iota(jnp.int32, (ROW_BLK, width), 0)
+        == idx - base
+    )
+    return jnp.sum(jnp.where(sel, blk, 0.0), axis=0, keepdims=True)
+
+
+def _ov_apply_kernel(
+    src_ref,  # SMEM i32[1, 1, S] (this batch element's pair list)
+    dst_ref,  # SMEM i32[1, 1, S]
+    kk_ref,  # SMEM i32[1, 1, S]
+    valid_ref,  # SMEM i32[1, 1, S]
+    base_ref,  # [1, M, CO] VMEM (conv output to accumulate onto)
+    table_ref,  # [1, Npad, C] VMEM
+    w_ref,  # [K*C, CO] VMEM (row-blocked per offset)
+    out_ref,  # [1, M, CO] VMEM
+    *,
+    s_cap: int,
+    c: int,
+):
+    out_ref[0] = base_ref[0]
+    co = w_ref.shape[1]
+
+    def body(s, _):
+        @pl.when(valid_ref[0, 0, s] != 0)
+        def _():
+            row = _row_load(table_ref, src_ref[0, 0, s], c)  # [1, C] f32
+            kk = kk_ref[0, 0, s]
+            if c % ROW_BLK == 0:
+                wk = w_ref[
+                    pl.ds(pl.multiple_of(kk * c, ROW_BLK), c), :
+                ].astype(jnp.float32)  # [C, CO]
+                contrib = jax.lax.dot_general(
+                    row, wk, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            elif c == 1:
+                wk = _row_load2(w_ref, kk, co)  # [1, CO] f32
+                contrib = row[:, :1] * wk
+            else:
+                raise NotImplementedError(
+                    f"sidecar kernel needs C==1 or C%{ROW_BLK}==0, got {c}"
+                )
+            _row_accum(out_ref, dst_ref[0, 0, s], contrib)
+
+        return 0
+
+    jax.lax.fori_loop(0, s_cap, body, 0)
+
+
+def overflow_apply(
+    base: jax.Array,  # [B, M, CO] conv output
+    table: jax.Array,  # [B, N, C] table features
+    w: jax.Array,  # [K, C, CO]
+    src: jax.Array,  # i32[B, S]
+    dst: jax.Array,  # i32[B, S]
+    kk: jax.Array,  # i32[B, S]
+    valid: jax.Array,  # bool[B, S]
+) -> jax.Array:
+    """base[b, dst] += W[kk] @ table[b, src] over valid pairs (Pallas)."""
+    b, m, co = base.shape
+    k, c, _ = w.shape
+    s_cap = src.shape[1]
+    npad = _round_up(table.shape[1], 8)
+    pt = _pad_rows(table, npad, 0)
+    kc_pad = _round_up(k * c, 8)  # row-block selects must stay in bounds
+    w2 = w.reshape(k * c, co).astype(table.dtype)
+    w2 = jnp.pad(w2, ((0, kc_pad - k * c), (0, 0)))
+    kern = functools.partial(_ov_apply_kernel, s_cap=s_cap, c=c)
+    sspec = pl.BlockSpec((1, 1, s_cap), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            sspec,
+            sspec,
+            sspec,
+            sspec,
+            pl.BlockSpec((1, m, co), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, c), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc_pad, co), lambda bb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m, co), lambda bb: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, co), base.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(src[:, None], dst[:, None], kk[:, None],
+      valid.astype(jnp.int32)[:, None], base, pt, w2)
+
+
+def _ov_dw_kernel(
+    src_ref, dst_ref, kk_ref, valid_ref,  # SMEM i32[1, 1, S]
+    x_ref,  # [1, Npad, C] VMEM
+    gy_ref,  # [1, Mpad, CO] VMEM
+    dw_ref,  # [K*C, CO] f32 VMEM (accumulated across the batch grid)
+    *,
+    s_cap: int,
+    c: int,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    def body(s, _):
+        @pl.when(valid_ref[0, 0, s] != 0)
+        def _():
+            x = _row_load(x_ref, src_ref[0, 0, s], c)  # [1, C] f32
+            gy = _row_load(gy_ref, dst_ref[0, 0, s], gy_ref.shape[2])  # [1, CO]
+            outer = jax.lax.dot_general(
+                x.transpose(1, 0), gy,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [C, CO]
+            kk = kk_ref[0, 0, s]
+            if c % ROW_BLK == 0:
+                r = pl.ds(pl.multiple_of(kk * c, ROW_BLK), c)
+                dw_ref[r, :] += outer
+            elif c == 1:
+                base = pl.multiple_of((kk // ROW_BLK) * ROW_BLK, ROW_BLK)
+                blk = dw_ref[pl.ds(base, ROW_BLK), :]
+                sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
+                    == kk - base
+                )
+                dw_ref[pl.ds(base, ROW_BLK), :] = blk + jnp.where(
+                    sel, outer, 0
+                )
+            else:
+                raise NotImplementedError(
+                    f"sidecar kernel needs C==1 or C%{ROW_BLK}==0, got {c}"
+                )
+
+        return 0
+
+    jax.lax.fori_loop(0, s_cap, body, 0)
+
+
+def overflow_dw(
+    x: jax.Array,  # [B, N, C] table features
+    gy: jax.Array,  # [B, M, CO] output cotangent
+    k: int,
+    src: jax.Array,
+    dst: jax.Array,
+    kk: jax.Array,
+    valid: jax.Array,
+) -> jax.Array:
+    """dW[kk] += x[src] (x) gy[dst] over valid pairs -> f32[K, C, CO]."""
+    b, _, c = x.shape
+    co = gy.shape[-1]
+    s_cap = src.shape[1]
+    xp = _pad_rows(x, _round_up(x.shape[1], 8), 0)
+    gp = _pad_rows(gy, _round_up(gy.shape[1], 8), 0)
+    kc_pad = _round_up(k * c, 8)
+    kern = functools.partial(_ov_dw_kernel, s_cap=s_cap, c=c)
+    sspec = pl.BlockSpec((1, 1, s_cap), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.SMEM)
+    dw = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            sspec,
+            sspec,
+            sspec,
+            sspec,
+            pl.BlockSpec((1, xp.shape[1], c), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gp.shape[1], co), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kc_pad, co), lambda bb: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kc_pad, co), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(src[:, None], dst[:, None], kk[:, None],
+      valid.astype(jnp.int32)[:, None], xp, gp)
+    return dw[: k * c].reshape(k, c, co)

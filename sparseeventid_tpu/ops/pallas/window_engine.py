@@ -30,8 +30,12 @@ from ..rulebook import _lookup, kernel_offsets
 from ..sparse_tensor import INVALID_KEY, SparseTensor, linearize
 from .window_conv import (
     INVALID_QUERY,
+    WINDOW_R,
+    WINDOW_R_STRIDED,
     _padded_table,
     compute_query_keys,
+    overflow_apply,
+    overflow_dw,
     window_conv_apply,
     window_gather,
     window_plan,
@@ -45,6 +49,7 @@ class WindowPlan:
 
     qkeys: jax.Array  # i32[B, M, K] query keys (INVALID_QUERY when dead)
     start: jax.Array  # i32[B, n_tiles, K] window starts
+    q_active: jax.Array  # i32[B] live rows on the query side (tile skipping)
     ov_src: jax.Array  # i32[B, S] table row of overflow pair
     ov_dst: jax.Array  # i32[B, S] output row
     ov_k: jax.Array  # i32[B, S] offset column
@@ -53,6 +58,10 @@ class WindowPlan:
     offsets: Tuple[Tuple[int, ...], ...] = dataclasses.field(
         metadata=dict(static=True)
     )
+    # conv window rows: strided FORWARD plans need ~2x (the parent table is
+    # ~stride^d / 2 denser than the child query set, so per-tile match spans
+    # approach 2*TILE_T)
+    window_r: int = dataclasses.field(default=WINDOW_R, metadata=dict(static=True))
 
     @property
     def num_offsets(self) -> int:
@@ -65,23 +74,29 @@ def _compact_overflow(
     uncovered: jax.Array,  # i32[B, M, K]
     cap: int,
 ):
-    """Resolve uncovered queries exactly -> compacted (src, dst, k) pairs."""
+    """Resolve uncovered queries exactly -> compacted (src, dst, k) pairs.
+
+    Compaction is sort-based: big XLA scatters serialize per source element
+    on TPU (~68 ms for 1.35M rows -> 2048 slots, measured), while a sort of
+    the same rows is ~27 ms and a sort of the composite below dominates the
+    whole plan build.  Sorting ``flat_idx where uncovered else BIG`` packs
+    the (rare) uncovered positions ascending at the front; the per-slot
+    gathers that follow touch only ``cap`` rows.
+    """
     b, m, k = qkeys.shape
     flat_q = qkeys.reshape(b, m * k)
     unc = (uncovered.reshape(b, m * k) != 0) & (flat_q != INVALID_QUERY)
-
-    def one(u, q):
-        rank = jnp.cumsum(u.astype(jnp.int32)) - 1
-        slot = jnp.where(u, rank, cap)
-        q_ov = jnp.full((cap,), INVALID_QUERY, jnp.int32).at[slot].set(
-            q, mode="drop"
-        )
-        flat_idx = jnp.arange(m * k, dtype=jnp.int32)
-        pos = jnp.full((cap,), 0, jnp.int32).at[slot].set(flat_idx, mode="drop")
-        total = jnp.sum(u.astype(jnp.int32))
-        return q_ov, pos, jnp.maximum(total - cap, 0)
-
-    q_ov, pos, dropped = jax.vmap(one)(unc, flat_q)
+    big = jnp.int32(2**30)
+    flat_idx = jnp.arange(m * k, dtype=jnp.int32)[None, :]
+    composite = jnp.where(unc, flat_idx, big)
+    pos = jax.lax.sort(composite, dimension=1)[:, :cap]  # [B, cap]
+    live = pos < big
+    pos = jnp.where(live, pos, 0)
+    q_ov = jnp.where(
+        live, jnp.take_along_axis(flat_q, pos, axis=1), INVALID_QUERY
+    )
+    total = jnp.sum(unc.astype(jnp.int32), axis=1)
+    dropped = jnp.maximum(total - cap, 0)
     dst = pos // k
     kk = pos % k
     src, hit = _lookup(keys, q_ov)
@@ -100,13 +115,13 @@ def build_submanifold_window_plan(
     qkeys = compute_query_keys(st, offs)
     keys = st.keys()
     pk, _ = _padded_table(keys, st.feats[..., :1])
-    start, uncov = window_plan(pk, qkeys, interpret=interpret)
+    start, uncov = window_plan(pk, qkeys, st.n_active, interpret=interpret)
     src, dst, kk, valid, dropped = _compact_overflow(
         keys, qkeys, uncov, overflow_cap
     )
     return WindowPlan(
-        qkeys, start, src, dst, kk, valid, dropped,
-        offsets=tuple(map(tuple, offs.tolist())),
+        qkeys, start, st.n_active, src, dst, kk, valid, dropped,
+        offsets=tuple(map(tuple, offs.tolist())), window_r=WINDOW_R,
     )
 
 
@@ -140,13 +155,17 @@ def build_strided_window_plans(
     qkeys_f = jnp.where(valid, qk, INVALID_QUERY)
     keys_in = st.keys()
     pk_in, _ = _padded_table(keys_in, st.feats[..., :1])
-    start_f, uncov_f = window_plan(pk_in, qkeys_f, interpret=interpret)
+    start_f, uncov_f = window_plan(
+        pk_in, qkeys_f, skeleton.n_active, interpret=interpret,
+        window_r=WINDOW_R_STRIDED,
+    )
     src, dst, kk, val, drop = _compact_overflow(
         keys_in, qkeys_f, uncov_f, overflow_cap
     )
     fwd = WindowPlan(
-        qkeys_f, start_f, src, dst, kk, val, drop,
+        qkeys_f, start_f, skeleton.n_active, src, dst, kk, val, drop,
         offsets=tuple(map(tuple, offs.tolist())),
+        window_r=WINDOW_R_STRIDED,
     )
 
     # reverse queries: input row -> parent key, one-hot over offset columns
@@ -167,13 +186,15 @@ def build_strided_window_plans(
     pk_out, _ = _padded_table(
         keys_out, jnp.zeros((*keys_out.shape, 1), jnp.float32)
     )
-    start_r, uncov_r = window_plan(pk_out, qkeys_r, interpret=interpret)
+    start_r, uncov_r = window_plan(
+        pk_out, qkeys_r, st.n_active, interpret=interpret
+    )
     src_r, dst_r, kk_r, val_r, drop_r = _compact_overflow(
         keys_out, qkeys_r, uncov_r, overflow_cap
     )
     rev = WindowPlan(
-        qkeys_r, start_r, src_r, dst_r, kk_r, val_r, drop_r,
-        offsets=tuple(map(tuple, offs.tolist())),
+        qkeys_r, start_r, st.n_active, src_r, dst_r, kk_r, val_r, drop_r,
+        offsets=tuple(map(tuple, offs.tolist())), window_r=WINDOW_R,
     )
     return fwd, rev
 
@@ -214,6 +235,23 @@ def _overflow_dw(table_feats, g_out, src, dst, kk, valid, k):
     return jnp.sum(jax.vmap(one)(table_feats, g_out, src, dst, kk, valid), axis=0)
 
 
+def _apply_overflow_any(out, table, w, src, dst, kk, valid, interpret):
+    """Pallas sidecar on hardware; the XLA twin in interpret mode (the XLA
+    gather/one-hot/scatter formulation compiles pathologically slowly on TPU
+    and destabilized jax.grad modules — see window_conv.overflow_apply)."""
+    if interpret:
+        return _apply_overflow(out, table, w, src, dst, kk, valid)
+    return overflow_apply(
+        out, table, w.astype(table.dtype), src, dst, kk, valid
+    )
+
+
+def _overflow_dw_any(x, gy, src, dst, kk, valid, k, interpret):
+    if interpret:
+        return _overflow_dw(x, gy, src, dst, kk, valid, k)
+    return overflow_dw(x, gy, k, src, dst, kk, valid)
+
+
 # --------------------------------------------------------------------------
 # submanifold conv with custom VJP
 # --------------------------------------------------------------------------
@@ -224,42 +262,65 @@ def _mirror_perm(offsets) -> np.ndarray:
     return np.array([lookup[tuple(-np.asarray(o))] for o in offs.tolist()])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
-def _subm_window_conv(offsets, feats, w, interpret, keys, qkeys, start,
-                      ov_src, ov_dst, ov_k, ov_valid):
-    out = window_conv_apply(keys, feats, qkeys, start, w, interpret=interpret)
-    return _apply_overflow(out, feats, w, ov_src, ov_dst, ov_k, ov_valid)
-
-
-def _subm_fwd(offsets, feats, w, interpret, keys, qkeys, start,
-              ov_src, ov_dst, ov_k, ov_valid):
-    out = _subm_window_conv(
-        offsets, feats, w, interpret, keys, qkeys, start,
-        ov_src, ov_dst, ov_k, ov_valid,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
+def _subm_window_conv(offsets, feats, w, interpret, window_r,
+                      keys, qkeys, start,
+                      q_active, ov_src, ov_dst, ov_k, ov_valid):
+    out = window_conv_apply(
+        keys, feats, qkeys, start, w, q_active, interpret=interpret,
+        window_r=window_r,
     )
-    return out, (feats, w, keys, qkeys, start, ov_src, ov_dst, ov_k, ov_valid)
+    return _apply_overflow_any(
+        out, feats, w, ov_src, ov_dst, ov_k, ov_valid, interpret
+    )
 
 
-def _subm_bwd(offsets, interpret, res, gy):
-    feats, w, keys, qkeys, start, ov_src, ov_dst, ov_k, ov_valid = res
+def _subm_fwd(offsets, feats, w, interpret, window_r, keys, qkeys, start,
+              q_active, ov_src, ov_dst, ov_k, ov_valid):
+    out = _subm_window_conv(
+        offsets, feats, w, interpret, window_r, keys, qkeys, start,
+        q_active, ov_src, ov_dst, ov_k, ov_valid,
+    )
+    return out, (feats, w, keys, qkeys, start, q_active,
+                 ov_src, ov_dst, ov_k, ov_valid)
+
+
+def _subm_bwd(offsets, interpret, window_r, res, gy):
+    (feats, w, keys, qkeys, start, q_active,
+     ov_src, ov_dst, ov_k, ov_valid) = res
     k, c, co = w.shape
-    perm = jnp.asarray(_mirror_perm(offsets))
+    perm_np = _mirror_perm(offsets)
+    perm = jnp.asarray(perm_np)
     gy = gy.astype(feats.dtype)
-    # dX: mirrored query columns, transposed weights; overflow transposes
-    # (src <-> dst) with the same offset column (W[k]^T pairs with it).
+    # dX window pass: mirrored query columns, transposed weights.  Window
+    # membership is NOT symmetric under mirroring: the mirrored pass covers
+    # pair (a -> b, k) iff the forward window covered its TWIN (b -> a,
+    # perm[k]).  The complement is therefore exactly the forward overflow
+    # list, each entry (src=a, dst=b, kk) contributing the dX of its twin:
+    #   dx[dst] += W[perm[kk]]^T @ gy[src]
+    # i.e. the UNtransposed forward list with perm-permuted transposed
+    # weights.  (Round 1 transposed the list instead, which double-counts
+    # pairs whose twin was in-window — caught by the integer-exact on-TPU
+    # equality check, scripts/check_window_tpu.py.)
     w_t = jnp.transpose(w, (0, 2, 1))
     dx = window_conv_apply(
-        keys, gy, qkeys[:, :, perm], start[:, :, perm], w_t,
-        interpret=interpret,
+        keys, gy, qkeys[:, :, perm], start[:, :, perm], w_t, q_active,
+        interpret=interpret, window_r=window_r,
     )
-    dx = _apply_overflow(dx, gy, w_t, ov_dst, ov_src, ov_k, ov_valid)
-    # dW = g^T dy (+ overflow pairs)
-    g = window_gather(keys, feats, qkeys, start, interpret=interpret)
+    dx = _apply_overflow_any(
+        dx, gy, w_t[perm_np], ov_src, ov_dst, ov_k, ov_valid, interpret
+    )
+    # dW = g^T dy (+ forward-plan overflow pairs — the gather is the
+    # forward plan's window set, so the forward list is its complement)
+    g = window_gather(keys, feats, qkeys, start, q_active,
+                      interpret=interpret, window_r=window_r)
     dw = jnp.einsum(
         "bnm,bno->mo", g.astype(jnp.float32), gy.astype(jnp.float32)
     ).reshape(k, c, co)
-    dw = dw + _overflow_dw(feats, gy, ov_src, ov_dst, ov_k, ov_valid, k)
-    return dx, dw.astype(w.dtype), None, None, None, None, None, None, None
+    dw = dw + _overflow_dw_any(
+        feats, gy, ov_src, ov_dst, ov_k, ov_valid, k, interpret
+    )
+    return (dx, dw.astype(w.dtype)) + (None,) * 8
 
 
 _subm_window_conv.defvjp(_subm_fwd, _subm_bwd)
@@ -275,7 +336,8 @@ def window_submanifold_conv(
     """Drop-in for ops.submanifold_conv on the windowed engine."""
     out = _subm_window_conv(
         plan.offsets, st.feats, w.astype(st.feats.dtype), interpret,
-        st.keys(), plan.qkeys, plan.start,
+        plan.window_r,
+        st.keys(), plan.qkeys, plan.start, plan.q_active,
         plan.ov_src, plan.ov_dst, plan.ov_k, plan.ov_valid,
     )
     if bias is not None:
@@ -288,46 +350,58 @@ def window_submanifold_conv(
 # strided conv with custom VJP (forward plan + reverse plan)
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
-def _strided_window_conv(offsets, feats, w, interpret, keys_in, keys_out,
-                         fq, fs, fo_src, fo_dst, fo_k, fo_val,
-                         rq, rs, ro_src, ro_dst, ro_k, ro_val):
-    out = window_conv_apply(keys_in, feats, fq, fs, w, interpret=interpret)
-    return _apply_overflow(out, feats, w, fo_src, fo_dst, fo_k, fo_val)
-
-
-def _strided_fwd(offsets, feats, w, interpret, keys_in, keys_out,
-                 fq, fs, fo_src, fo_dst, fo_k, fo_val,
-                 rq, rs, ro_src, ro_dst, ro_k, ro_val):
-    out = _strided_window_conv(
-        offsets, feats, w, interpret, keys_in, keys_out,
-        fq, fs, fo_src, fo_dst, fo_k, fo_val,
-        rq, rs, ro_src, ro_dst, ro_k, ro_val,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5))
+def _strided_window_conv(offsets, feats, w, interpret, f_r, r_r,
+                         keys_in, keys_out,
+                         fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
+                         rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val):
+    out = window_conv_apply(
+        keys_in, feats, fq, fs, w, f_act, interpret=interpret, window_r=f_r
     )
-    return out, (feats, w, keys_in, keys_out, fq, fs,
+    return _apply_overflow_any(
+        out, feats, w, fo_src, fo_dst, fo_k, fo_val, interpret
+    )
+
+
+def _strided_fwd(offsets, feats, w, interpret, f_r, r_r, keys_in, keys_out,
+                 fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
+                 rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val):
+    out = _strided_window_conv(
+        offsets, feats, w, interpret, f_r, r_r, keys_in, keys_out,
+        fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
+        rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val,
+    )
+    return out, (feats, w, keys_in, keys_out, fq, fs, f_act,
                  fo_src, fo_dst, fo_k, fo_val,
-                 rq, rs, ro_src, ro_dst, ro_k, ro_val)
+                 rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val)
 
 
-def _strided_bwd(offsets, interpret, res, gy):
-    (feats, w, keys_in, keys_out, fq, fs,
+def _strided_bwd(offsets, interpret, f_r, r_r, res, gy):
+    (feats, w, keys_in, keys_out, fq, fs, f_act,
      fo_src, fo_dst, fo_k, fo_val,
-     rq, rs, ro_src, ro_dst, ro_k, ro_val) = res
+     rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val) = res
     k, c, co = w.shape
     gy = gy.astype(feats.dtype)
     w_t = jnp.transpose(w, (0, 2, 1))
     # dX via the reverse plan: each input row reads its parent's dY through
     # its own offset column.
-    dx = window_conv_apply(keys_out, gy, rq, rs, w_t, interpret=interpret)
-    dx = _apply_overflow(dx, gy, w_t, ro_src, ro_dst, ro_k, ro_val)
+    dx = window_conv_apply(
+        keys_out, gy, rq, rs, w_t, r_act, interpret=interpret, window_r=r_r
+    )
+    dx = _apply_overflow_any(
+        dx, gy, w_t, ro_src, ro_dst, ro_k, ro_val, interpret
+    )
     # dW via reverse gather: g1[b, n_in, K*CO] = dY[parent] in the row's
     # offset column; dW[k] = sum_n x[n] g1[n, k].
-    g1 = window_gather(keys_out, gy, rq, rs, interpret=interpret)
+    g1 = window_gather(keys_out, gy, rq, rs, r_act, interpret=interpret,
+                       window_r=r_r)
     dw = jnp.einsum(
         "bnc,bnm->mc", feats.astype(jnp.float32), g1.astype(jnp.float32)
     ).reshape(k, co, c).transpose(0, 2, 1)
-    dw = dw + _overflow_dw(feats, gy, fo_src, fo_dst, fo_k, fo_val, k)
-    return (dx, dw.astype(w.dtype)) + (None,) * 14
+    dw = dw + _overflow_dw_any(
+        feats, gy, ro_dst, ro_src, ro_k, ro_val, k, interpret
+    )
+    return (dx, dw.astype(w.dtype)) + (None,) * 16
 
 
 _strided_window_conv.defvjp(_strided_fwd, _strided_bwd)
@@ -344,10 +418,11 @@ def window_strided_conv(
     """Drop-in for ops.strided_conv on the windowed engine."""
     out = _strided_window_conv(
         fwd_plan.offsets, st.feats, w.astype(st.feats.dtype), interpret,
+        fwd_plan.window_r, rev_plan.window_r,
         st.keys(), skeleton.keys(),
-        fwd_plan.qkeys, fwd_plan.start,
+        fwd_plan.qkeys, fwd_plan.start, fwd_plan.q_active,
         fwd_plan.ov_src, fwd_plan.ov_dst, fwd_plan.ov_k, fwd_plan.ov_valid,
-        rev_plan.qkeys, rev_plan.start,
+        rev_plan.qkeys, rev_plan.start, rev_plan.q_active,
         rev_plan.ov_src, rev_plan.ov_dst, rev_plan.ov_k, rev_plan.ov_valid,
     )
     out = jnp.where(skeleton.row_mask()[..., None], out, 0)

@@ -170,13 +170,13 @@ def downsample_sites(
     child_keys = jnp.where(mask, child_keys, INVALID_KEY)
 
     def unique_one(keys_b):
+        # sort-based unique-compaction: XLA scatters serialize per element on
+        # TPU, a second small sort does not (measured in the window-plan
+        # compaction rewrite, window_engine._compact_overflow).
         sk = jnp.sort(keys_b)
         first = jnp.concatenate([jnp.array([True]), sk[1:] != sk[:-1]])
         first = first & (sk != INVALID_KEY)
-        rank = jnp.cumsum(first) - 1
-        slot = jnp.where(first, rank, n_out_cap)  # dropped if not-first or overflow
-        out = jnp.full((n_out_cap,), INVALID_KEY, dtype=jnp.int32)
-        out = out.at[slot].min(sk, mode="drop")
+        out = jnp.sort(jnp.where(first, sk, INVALID_KEY))[:n_out_cap]
         total = jnp.sum(first).astype(jnp.int32)
         n = jnp.minimum(total, n_out_cap).astype(jnp.int32)
         return out, n, jnp.maximum(total - n_out_cap, 0)

@@ -25,6 +25,20 @@ DATA_AXIS = "data"
 
 def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
     devs = jax.devices()
+    if n_devices is not None and len(devs) < n_devices:
+        # An explicit device-count request that the default platform cannot
+        # satisfy falls back to the virtual CPU platform (tests force
+        # --xla_force_host_platform_device_count=8).  Without this, an
+        # 8-way request on a 1-chip host silently produced a 1-device mesh
+        # and "8-way" tests ran vacuously single-device.
+        cpu = jax.devices("cpu")
+        if len(cpu) >= n_devices:
+            devs = cpu
+        else:
+            raise ValueError(
+                f"requested {n_devices}-device mesh but only "
+                f"{len(devs)} default / {len(cpu)} cpu devices exist"
+            )
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
 

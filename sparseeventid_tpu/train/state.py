@@ -22,9 +22,16 @@ class TrainState:
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
-def create_train_state(model, optimizer, rng, example_input) -> TrainState:
+def create_train_state(model, optimizer, rng, example_input, plans=None) -> TrainState:
     # jit the init: eager per-op dispatch at full model scale is minutes-slow
-    variables = jax.jit(model.init, static_argnums=(2,))(rng, example_input, True)
+    if plans is not None:
+        variables = jax.jit(model.init, static_argnums=(2,))(
+            rng, example_input, True, plans
+        )
+    else:
+        variables = jax.jit(model.init, static_argnums=(2,))(
+            rng, example_input, True
+        )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = optimizer.init(params)

@@ -21,14 +21,27 @@ from .losses import multi_head_accuracy, multi_head_loss
 from .state import TrainState
 
 
-def make_loss_fn(model, scheme: LossBalanceScheme, class_weights=None):
-    def loss_fn(params, batch_stats, st, labels, dropout_rng, train: bool):
+def make_loss_fn(model, scheme: LossBalanceScheme, class_weights=None,
+                 plans_builder=None):
+    """plans_builder(st, host_plans_dict) -> EncoderPlans: when set, the
+    sparse encoder consumes host-built window plans (ops/host_plans.py) and
+    no plan construction runs on device."""
+
+    def loss_fn(params, batch_stats, st, labels, host_plans, dropout_rng,
+                train: bool):
         variables = {"params": params, "batch_stats": batch_stats}
+        plans = (
+            plans_builder(st, host_plans)
+            if (plans_builder is not None and host_plans is not None)
+            else None
+        )
+        extra = (plans,) if plans is not None else ()
         if train:
             logits, mutated = model.apply(
                 variables,
                 st,
                 True,
+                *extra,
                 rngs={"dropout": dropout_rng},
                 mutable=["batch_stats", "diagnostics"],
             )
@@ -41,7 +54,7 @@ def make_loss_fn(model, scheme: LossBalanceScheme, class_weights=None):
                 start=jnp.zeros((), jnp.int32),
             )
         else:
-            logits = model.apply(variables, st, False)
+            logits = model.apply(variables, st, False, *extra)
             new_stats = batch_stats
             dropped = jnp.zeros((), jnp.int32)
         loss, per_head = multi_head_loss(logits, labels, scheme, class_weights)
@@ -57,19 +70,21 @@ def make_train_step(
     lr_schedule: Callable | None = None,
     axis_name: str | None = None,
     class_weights=None,
+    plans_builder=None,
 ):
-    """Returns step(state, st, labels, rng) -> (state, metrics).
+    """Returns step(state, st, labels, host_plans, rng) -> (state, metrics).
 
     Under shard_map, axis_name triggers cross-replica grad/metric pmean —
     the psum rides ICI, replacing NCCL allreduce.
     """
-    loss_fn = make_loss_fn(model, scheme, class_weights)
+    loss_fn = make_loss_fn(model, scheme, class_weights, plans_builder)
 
-    def step(state: TrainState, st: SparseTensor, labels, rng):
+    def step(state: TrainState, st: SparseTensor, labels, host_plans, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
         (loss, (logits, new_stats, per_head, dropped)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, st, labels, dropout_rng, True)
+        )(state.params, state.batch_stats, st, labels, host_plans,
+          dropout_rng, True)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
@@ -94,13 +109,15 @@ def make_eval_step(
     scheme: LossBalanceScheme,
     axis_name: str | None = None,
     class_weights=None,
+    plans_builder=None,
 ):
-    """Returns eval(state, st, labels) -> metrics (validation_step parity)."""
-    loss_fn = make_loss_fn(model, scheme, class_weights)
+    """Returns eval(state, st, labels, host_plans) -> metrics."""
+    loss_fn = make_loss_fn(model, scheme, class_weights, plans_builder)
 
-    def step(state: TrainState, st: SparseTensor, labels):
+    def step(state: TrainState, st: SparseTensor, labels, host_plans):
         loss, (logits, _, per_head, _) = loss_fn(
-            state.params, state.batch_stats, st, labels, jax.random.PRNGKey(0), False
+            state.params, state.batch_stats, st, labels, host_plans,
+            jax.random.PRNGKey(0), False
         )
         metrics = {"loss/loss": loss}
         metrics.update(
@@ -113,12 +130,15 @@ def make_eval_step(
     return step
 
 
-def make_predict_step(model):
+def make_predict_step(model, plans_builder=None):
     """Softmax per head for inference output writing
     (legacy ana_step parity, torch_inference.py:719-776)."""
 
-    def step(state: TrainState, st: SparseTensor):
-        logits = model.apply(state.variables(), st, False)
+    def step(state: TrainState, st: SparseTensor, host_plans=None):
+        extra = ()
+        if plans_builder is not None and host_plans is not None:
+            extra = (plans_builder(st, host_plans),)
+        logits = model.apply(state.variables(), st, False, *extra)
         return {k: jax.nn.softmax(v, axis=-1) for k, v in logits.items()}
 
     return step

@@ -149,6 +149,15 @@ class Trainer:
 
     def _loader(self, split: str) -> BatchLoader:
         if split not in self.loaders:
+            transform = None
+            if self._plans_enabled and self.cfg.name in (
+                "supervised_eventID", "unsupervised_eventID"
+            ):
+                # build the window plans in the prefetch thread so the C++
+                # workers overlap the device step (larcv3 prefetch parity)
+                transform = lambda b: {
+                    **b, "host_plans": self._compute_host_plans(b["image"])
+                }
             self.loaders[split] = BatchLoader(
                 self.datasets[split],
                 self.cfg.run.minibatch_size,
@@ -156,6 +165,7 @@ class Trainer:
                 seed=self.cfg.data.seed if self.cfg.data.seed >= 0 else 0,
                 process_index=jax.process_index(),
                 process_count=jax.process_count(),
+                transform=transform,
             )
         return self.loaders[split]
 
@@ -190,7 +200,79 @@ class Trainer:
     def _to_device(self, batch: Dict):
         x = self._image_to_input(batch["image"])
         labels = {k: jnp.asarray(batch[k]) for k in OUTPUT_SHAPE if k in batch}
-        return self._shard((x, labels))
+        return self._shard((x, labels, self._host_plans(batch)))
+
+    # ---- host-side window plans (C++ prefetch workers) -------------------
+    @property
+    def _plans_enabled(self) -> bool:
+        """Host-built window plans: the production hot path. The C++ workers
+        build the site pyramid + exact window starts + overflow sidecars per
+        batch (io/_hostio.cpp), so no plan construction runs on device
+        (VERDICT r1 next-round #2/#9). Device plan builders remain the
+        fallback (synthetic dryruns, 2D, non-native environments)."""
+        from ..config.schema import ConvRepresentation
+        from ..io.hostio import HAVE_NATIVE
+
+        cfg = self.cfg
+        import os
+
+        return (
+            HAVE_NATIVE
+            and os.environ.get("SEID_HOST_PLANS", "1") != "0"
+            and self.input_mode == "sparse"
+            and cfg.framework.sparse_backend == "window"
+            and isinstance(cfg.encoder, ConvRepresentation)
+            and cfg.data.dimension == 3
+        )
+
+    def _plan_geometry(self):
+        from ..ops import engine as _eng
+        from ..ops.pallas.window_conv import WINDOW_R, WINDOW_R_STRIDED
+
+        cfg = self.cfg
+        caps = self._capacities()
+        ik, sk, stride = (5, 5, 5), (3, 3, 3), (2, 2, 2)
+        k_i = 125
+        return dict(
+            grid=tuple(int(g) for g in self.image_shape),
+            caps=list(caps),
+            initial_kernel=ik,
+            series_kernel=sk,
+            stride=stride,
+            window_r=WINDOW_R,
+            ov_caps=[_eng._overflow_cap(c, 27) for c in caps],
+            ov_cap_initial=_eng._overflow_cap(caps[0], k_i),
+            ov_caps_down=[_eng._overflow_cap(c, 8) for c in caps[:-1]],
+            window_r_down=WINDOW_R_STRIDED,
+        )
+
+    def _compute_host_plans(self, image: np.ndarray):
+        from ..io.hostio import build_window_plans
+
+        coords = np.asarray(image[..., :3], np.int32)  # -999 pad -> negative
+        return build_window_plans(coords, **self._plan_geometry())
+
+    def _host_plans(self, batch: Dict):
+        if not self._plans_enabled:
+            return None
+        if "host_plans" in batch:
+            return batch["host_plans"]
+        return self._compute_host_plans(batch["image"])
+
+    def _plans_builder(self):
+        """(st, host_dict) -> EncoderPlans closure for the jitted steps."""
+        if not self._plans_enabled:
+            return None
+        from ..ops.host_plans import encoder_plans_from_host
+
+        depth = self.cfg.encoder.depth
+
+        def builder(st, host):
+            return encoder_plans_from_host(
+                st, host, depth, (5, 5, 5), (3, 3, 3), (2, 2, 2)
+            )
+
+        return builder
 
     # ----------------------------------------------------------------- build
     def _build_training(self) -> Tuple:
@@ -272,12 +354,19 @@ class Trainer:
     # ---- task: supervised 4-head event ID --------------------------------
     def _build_supervised(self, opt_cfg, optimizer, lr_schedule, n_steps):
         cfg = self.cfg
-        st0, _ = self._to_device(self._example_batch())
+        pb = self._plans_builder()
+        st0, _, host0 = self._to_device(self._example_batch())
         # init with an axis-free twin (sync-BN psum needs the mesh context;
         # identical param structure)
         init_model = build_model(cfg)[0] if self.axis_name else self.model
-        init = jax.jit(init_model.init, static_argnums=(2,))
-        variables = init(jax.random.PRNGKey(cfg.run.seed), st0, True)
+
+        def init_fn(rng, st, host):
+            extra = (pb(st, host),) if (pb and host is not None) else ()
+            return init_model.init(rng, st, True, *extra)
+
+        variables = jax.jit(init_fn)(
+            jax.random.PRNGKey(cfg.run.seed), st0, host0
+        )
         state = self._finish_state(variables, optimizer)
 
         scheme = opt_cfg.loss_balance_scheme
@@ -295,14 +384,15 @@ class Trainer:
         train_step = make_train_step(
             self.model, optimizer, scheme, lr_schedule,
             axis_name=self.axis_name, class_weights=class_weights,
+            plans_builder=pb,
         )
         eval_step = make_eval_step(
             self.model, scheme, axis_name=self.axis_name,
-            class_weights=class_weights,
+            class_weights=class_weights, plans_builder=pb,
         )
         if self.mesh is not None:
-            train_step = make_dp_train_step(train_step, self.mesh)
-            eval_step = make_dp_eval_step(eval_step, self.mesh)
+            train_step = make_dp_train_step(train_step, self.mesh, n_batch_args=3)
+            eval_step = make_dp_eval_step(eval_step, self.mesh, n_batch_args=3)
         else:
             train_step = jax.jit(train_step)
             eval_step = jax.jit(eval_step)
@@ -461,30 +551,44 @@ class Trainer:
             cfg, axis_name=self.axis_name, output_shape=output_shape
         )
 
+        pb = self._plans_builder()
+
         def prepare(batch):
             st = self._image_to_input(batch["image"])
             e = np.asarray(batch["energy"])
             weak = ((e >= lo) & (e <= hi)).astype(np.int32)
-            return self._shard((st, {"weak_label": jnp.asarray(weak)}))
+            return self._shard(
+                (st, {"weak_label": jnp.asarray(weak)},
+                 self._host_plans(batch))
+            )
 
-        st0, labels0 = prepare(self._example_batch())
+        st0, labels0, host0 = prepare(self._example_batch())
         init_model = (
             build_sparse_classifier(cfg, output_shape=output_shape)
             if self.axis_name
             else model
         )
-        init = jax.jit(init_model.init, static_argnums=(2,))
-        variables = init(jax.random.PRNGKey(cfg.run.seed), st0, True)
+
+        def init_fn(rng, st, host):
+            extra = (pb(st, host),) if (pb and host is not None) else ()
+            return init_model.init(rng, st, True, *extra)
+
+        variables = jax.jit(init_fn)(
+            jax.random.PRNGKey(cfg.run.seed), st0, host0
+        )
         state = self._finish_state(variables, optimizer)
 
         scheme = opt_cfg.loss_balance_scheme
         train_step = make_train_step(
-            model, optimizer, scheme, lr_schedule, axis_name=self.axis_name
+            model, optimizer, scheme, lr_schedule, axis_name=self.axis_name,
+            plans_builder=pb,
         )
-        eval_step = make_eval_step(model, scheme, axis_name=self.axis_name)
+        eval_step = make_eval_step(
+            model, scheme, axis_name=self.axis_name, plans_builder=pb
+        )
         if self.mesh is not None:
-            train_step = make_dp_train_step(train_step, self.mesh)
-            eval_step = make_dp_eval_step(eval_step, self.mesh)
+            train_step = make_dp_train_step(train_step, self.mesh, n_batch_args=3)
+            eval_step = make_dp_eval_step(eval_step, self.mesh, n_batch_args=3)
         else:
             train_step = jax.jit(train_step)
             eval_step = jax.jit(eval_step)
@@ -583,7 +687,11 @@ class Trainer:
         cfg = self.cfg
         state, _, eval_step, _, prepare = self._build_training()
         supervised = cfg.name == "supervised_eventID"
-        predict = make_predict_step(self.model) if supervised else None
+        predict = (
+            make_predict_step(self.model, self._plans_builder())
+            if supervised
+            else None
+        )
         if predict is not None and self.mesh is None:
             predict = jax.jit(predict)
         split = "val" if "val" in self.datasets else "test"
@@ -598,7 +706,9 @@ class Trainer:
             m = jax.device_get(eval_step(state, *args))
             all_metrics.append(m)
             if predict is not None and getattr(cfg.mode, "output_file", ""):
-                soft = jax.device_get(predict(state, args[0]))
+                soft = jax.device_get(
+                    predict(state, args[0], args[2] if len(args) > 2 else None)
+                )
                 for k in OUTPUT_SHAPE:
                     outputs[k].append(soft[k])
         mean = {

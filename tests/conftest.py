@@ -1,9 +1,18 @@
-"""Test configuration: force an 8-device virtual CPU platform so sharding
-tests run anywhere (SURVEY.md §4 'Implication for the new framework')."""
+"""Test configuration.
+
+Intent: an 8-device virtual CPU platform so sharding tests run anywhere
+(SURVEY.md §4 'Implication for the new framework').  Reality on the axon
+TPU terminal: the distribution IGNORES ``JAX_PLATFORMS=cpu`` — the default
+backend stays the real TPU, so most tests exercise the COMPILED Pallas
+kernels on hardware (higher fidelity, slower).  The XLA_FLAGS below still
+matter: the lazily-initialized CPU client picks them up, so code that asks
+for ``jax.devices("cpu")`` explicitly (parallel/mesh tests, the
+dryrun_multichip re-exec child) gets its 8 virtual devices either way.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"  # honored off-axon; ignored on axon
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

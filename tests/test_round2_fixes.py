@@ -81,7 +81,7 @@ def test_encoder_freeze_multi_transform():
     step = jax.jit(make_train_step(model, optimizer, LossBalanceScheme.focal, lr))
     for i in range(3):
         st, labels = get_batch(ds, i, 4)
-        state, _ = step(state, st, labels, jax.random.PRNGKey(i))
+        state, _ = step(state, st, labels, None, jax.random.PRNGKey(i))
     enc_after = jax.device_get(state.params["encoder"])
     head_after = jax.device_get(
         {k: v for k, v in state.params.items() if k != "encoder"}
@@ -119,7 +119,7 @@ def test_overflow_dropped_metric_fires():
     step = jax.jit(
         make_train_step(model_choked, optimizer, LossBalanceScheme.focal, lr)
     )
-    _, metrics = step(state, st0, labels0, jax.random.PRNGKey(1))
+    _, metrics = step(state, st0, labels0, None, jax.random.PRNGKey(1))
     assert "overflow/dropped" in metrics
     assert int(metrics["overflow/dropped"]) > 0
 

@@ -76,7 +76,7 @@ def test_loss_decreases():
     losses = []
     for i in range(12):
         st, labels = get_batch(ds, i % 4, 4)
-        state, metrics = step(state, st, labels, rng)
+        state, metrics = step(state, st, labels, None, rng)
         losses.append(float(metrics["loss/loss"]))
     assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
     assert int(state.step) == 12
@@ -91,7 +91,7 @@ def test_eval_step_runs():
     st0, labels0 = get_batch(ds, 0, 4)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0), st0)
     ev = jax.jit(make_eval_step(model, LossBalanceScheme.focal))
-    metrics = ev(state, st0, labels0)
+    metrics = ev(state, st0, labels0, None)
     assert np.isfinite(float(metrics["loss/loss"]))
     assert "acc/labelneutID" in metrics
 
@@ -104,7 +104,7 @@ def test_checkpoint_roundtrip(tmp_path):
     st0, labels0 = get_batch(ds, 0, 4)
     state = create_train_state(model, optimizer, jax.random.PRNGKey(0), st0)
     step = jax.jit(make_train_step(model, optimizer, LossBalanceScheme.focal, lr))
-    state, _ = step(state, st0, labels0, jax.random.PRNGKey(1))
+    state, _ = step(state, st0, labels0, None, jax.random.PRNGKey(1))
 
     mgr = CheckpointManager(tmp_path / "ckpts", keep=2)
     mgr.save(state, int(state.step))
@@ -142,7 +142,7 @@ def test_dp_step_matches_single_device():
     step1 = jax.jit(
         make_train_step(model_single, optimizer, LossBalanceScheme.focal, lr)
     )
-    s1, m1 = step1(state, st, labels, jax.random.PRNGKey(7))
+    s1, m1 = step1(state, st, labels, None, jax.random.PRNGKey(7))
 
     # 8-way data parallel
     mesh = make_mesh(8)
@@ -151,9 +151,10 @@ def test_dp_step_matches_single_device():
             model_dp, optimizer, LossBalanceScheme.focal, lr, axis_name="data"
         ),
         mesh,
+        n_batch_args=3,
     )
     st_sh, labels_sh = shard_batch(mesh, (st, labels))
-    s8, m8 = step8(state, st_sh, labels_sh, jax.random.PRNGKey(7))
+    s8, m8 = step8(state, st_sh, labels_sh, None, jax.random.PRNGKey(7))
 
     np.testing.assert_allclose(
         float(m1["loss/loss"]), float(m8["loss/loss"]), rtol=1e-5
