@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Accuracy evidence run (VERDICT r1 next-round #4).
+
+Trains the flagship sparse classifier on a synthetic dataset large enough
+to generalize, with the production window backend, and records:
+  * per-head val accuracy + loss curves (ACCURACY.md)
+  * a checkpoint-resume mid-run (restart equivalence)
+  * a window-vs-xla backend comparison over the same steps (the two
+    engines must produce statistically identical training, since the conv
+    math is equality-tested; this checks the full training loop)
+
+Usage: python scripts/accuracy_run.py [--steps 1500] [--out ACCURACY.md]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def build_trainer(backend: str, run_id: str, steps: int, resume: bool = False):
+    import jax
+
+    from sparseeventid_tpu.config import load_config
+    from sparseeventid_tpu.train.trainer import Trainer
+
+    cfg = load_config(
+        "synthetic",
+        [
+            f"run.id={run_id}",
+            "run.minibatch_size=8",
+            "run.precision=bfloat16",
+            "run.seed=0",
+            "data.seed=0",
+            "data.max_voxels=6144",
+            "data.synthetic_events=2048",
+            "encoder.depth=3",
+            "encoder.blocks_per_layer=2",
+            "encoder.n_initial_filters=16",
+            "encoder.n_output_filters=64",
+            "framework.min_capacity=512",
+            f"framework.sparse_backend={backend}",
+            "framework.remat=false",
+            f"mode.iterations={steps}",
+            "mode.checkpoint_iteration=100",
+        ],
+    )
+    return Trainer(cfg)
+
+
+def run_training(backend: str, run_id: str, steps: int):
+    """Train and return (train_curve, val_curve) metric dicts by step."""
+    import jax
+
+    t = build_trainer(backend, run_id, steps)
+    state, train_step, eval_step, n_steps, prepare = t._build_training()
+    loader = t._loader("train")
+    val_loader = t._loader("val")
+    rng = jax.random.PRNGKey(1)
+    train_curve, val_curve = [], []
+    t0 = time.time()
+    for i in range(int(state.step), n_steps):
+        if i % 25 == 0:
+            vargs = prepare(next(val_loader))
+            vm = jax.device_get(eval_step(state, *vargs))
+            val_curve.append({"step": i, **{k: float(v) for k, v in vm.items()}})
+        args = prepare(next(loader))
+        state, metrics = train_step(state, *args, rng)
+        if i % 25 == 0:
+            m = jax.device_get(metrics)
+            train_curve.append(
+                {"step": i, **{k: float(v) for k, v in m.items()}}
+            )
+            print(
+                f"[{backend}] step {i}: loss {m['loss/loss']:.4f} "
+                f"({time.time()-t0:.0f}s)",
+                flush=True,
+            )
+        if i + 1 == n_steps and jax.process_index() == 0:
+            t.ckpt.save(state, int(state.step))
+    # final val sweep: 16 batches
+    accs = []
+    for _ in range(16):
+        vargs = prepare(next(val_loader))
+        accs.append(jax.device_get(eval_step(state, *vargs)))
+    final = {
+        k: float(np.mean([a[k] for a in accs])) for k in accs[0]
+    }
+    t._shutdown()
+    return train_curve, val_curve, final
+
+
+def run_resume_check(run_id: str, steps_a: int, steps_b: int):
+    """Train steps_a, tear down, rebuild trainer (auto-resume), train to
+    steps_b; return the resumed start step to prove checkpoint-restart."""
+    import jax
+
+    t = build_trainer("window", run_id, steps_a)
+    state, train_step, eval_step, n_steps, prepare = t._build_training()
+    loader = t._loader("train")
+    rng = jax.random.PRNGKey(1)
+    for i in range(n_steps):
+        args = prepare(next(loader))
+        state, _ = train_step(state, *args, rng)
+    t.ckpt.save(state, int(state.step))
+    loss_a = None
+    t._shutdown()
+
+    t2 = build_trainer("window", run_id, steps_b)
+    state2, train_step2, _, n2, prepare2 = t2._build_training()
+    resumed_at = int(state2.step)
+    loader2 = t2._loader("train")
+    for i in range(resumed_at, n2):
+        args = prepare2(next(loader2))
+        state2, m = train_step2(state2, *args, rng)
+    final_step = int(state2.step)
+    t2._shutdown()
+    return resumed_at, final_step
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--xla-steps", type=int, default=300)
+    ap.add_argument("--out", default="ACCURACY.md")
+    args = ap.parse_args()
+
+    chance = {
+        "acc/labelneutID": 1 / 3,
+        "acc/labelprotID": 1 / 3,
+        "acc/labelcpiID": 0.5,
+        "acc/labelnpiID": 0.5,
+    }
+
+    tr_w, val_w, final_w = run_training("window", "acc_window", args.steps)
+    tr_x, val_x, final_x = run_training("xla", "acc_xla", args.xla_steps)
+    # window curve restricted to the xla horizon for the comparison
+    w_short = [m for m in tr_w if m["step"] < args.xla_steps]
+    resumed_at, final_step = run_resume_check("acc_resume", 120, 240)
+
+    lines = [
+        "# Accuracy evidence (synthetic dune3d-shaped run)",
+        "",
+        "Flagship sparse classifier (window backend, bf16, batch 8, depth 3,",
+        "2048 train / 256 val synthetic events, grid from the synthetic",
+        f"recipe) trained {args.steps} steps. Chance levels: neut/prot 33.3%,",
+        "cpi/npi 50%.",
+        "",
+        "## Final val accuracy (mean over 16 val batches)",
+        "",
+        "| head | accuracy | chance |",
+        "|---|---|---|",
+    ]
+    for k in sorted(chance):
+        lines.append(
+            f"| {k} | {final_w[k]*100:.1f}% | {chance[k]*100:.1f}% |"
+        )
+    lines += [
+        f"| loss | {final_w['loss/loss']:.4f} | — |",
+        "",
+        "## Loss curve (train, every 25 steps)",
+        "",
+        "```",
+    ]
+    for m in tr_w[:: max(1, len(tr_w) // 20)]:
+        lines.append(f"step {m['step']:5d}  loss {m['loss/loss']:.4f}")
+    lines += [
+        "```",
+        "",
+        "## Backend equivalence (window vs xla rulebook)",
+        "",
+        f"Same data/seed trained {args.xla_steps} steps on both engines",
+        "(the conv math is bit-equality-tested in",
+        "scripts/check_window_tpu.py; this exercises the full loop):",
+        "",
+        "| step | window loss | xla loss |",
+        "|---|---|---|",
+    ]
+    for mw, mx in zip(w_short, tr_x):
+        lines.append(
+            f"| {mw['step']} | {mw['loss/loss']:.4f} | {mx['loss/loss']:.4f} |"
+        )
+    dloss = [abs(mw["loss/loss"] - mx["loss/loss"]) for mw, mx in zip(w_short, tr_x)]
+    lines += [
+        "",
+        f"max |window - xla| loss over the horizon: {max(dloss):.4f}",
+        "",
+        "## Checkpoint-resume",
+        "",
+        f"Run trained to step 120, torn down, rebuilt: auto-resumed at step "
+        f"{resumed_at} and continued to {final_step} (keep-5 GC, latest "
+        "pointer — utils/checkpoint.py).",
+        "",
+        "Raw curves: see ACCURACY.json.",
+    ]
+    Path(args.out).write_text("\n".join(lines) + "\n")
+    Path("ACCURACY.json").write_text(
+        json.dumps(
+            dict(
+                window_train=tr_w, window_val=val_w, window_final=final_w,
+                xla_train=tr_x, xla_final=final_x,
+                resume=dict(resumed_at=resumed_at, final_step=final_step),
+            )
+        )
+    )
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

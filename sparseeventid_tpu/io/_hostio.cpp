@@ -15,12 +15,16 @@
 #define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
 #include <numpy/arrayobject.h>
 
+#include <dlfcn.h>
+
 #include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <random>
+#include <string>
 #include <thread>
 #include <vector>
 
@@ -537,7 +541,193 @@ PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
   return dict;
 }
 
+// ---------------------------------------------------------------------------
+// Native HDF5 voxel-slab reader — replaces per-event h5py reads on the hot
+// path (the role larcv3's C++ IOManager/serialization plays,
+// /root/reference/src/io/larcv_fetcher.py:59-77).  No dev headers ship in
+// this image, so the stable HDF5 1.x C API is bound via dlopen of the
+// runtime library (libhdf5_serial.so.103 / h5py's bundled copy).  The
+// serial HDF5 build is NOT thread-safe: all H5 calls happen under one
+// mutex, with the GIL released — reads in the BatchLoader prefetch thread
+// overlap device compute without touching the interpreter.
+// ---------------------------------------------------------------------------
+
+namespace h5 {
+
+using hid_t = int64_t;
+using herr_t = int;
+using hsize_t = unsigned long long;
+
+constexpr unsigned kAccRdonly = 0u;
+constexpr hid_t kDefault = 0;
+constexpr int kSelectSet = 0;
+constexpr int kCompound = 6;
+
+struct Api {
+  bool ok = false;
+  herr_t (*H5open)();
+  hid_t (*H5Fopen)(const char*, unsigned, hid_t);
+  herr_t (*H5Fclose)(hid_t);
+  hid_t (*H5Dopen2)(hid_t, const char*, hid_t);
+  herr_t (*H5Dclose)(hid_t);
+  hid_t (*H5Dget_space)(hid_t);
+  herr_t (*H5Sclose)(hid_t);
+  hid_t (*H5Screate_simple)(int, const hsize_t*, const hsize_t*);
+  herr_t (*H5Sselect_hyperslab)(hid_t, int, const hsize_t*, const hsize_t*,
+                                const hsize_t*, const hsize_t*);
+  herr_t (*H5Dread)(hid_t, hid_t, hid_t, hid_t, hid_t, void*);
+  hid_t (*H5Tcreate)(int, size_t);
+  herr_t (*H5Tinsert)(hid_t, const char*, size_t, hid_t);
+  herr_t (*H5Tclose)(hid_t);
+  hid_t native_ullong = -1;
+  hid_t native_float = -1;
+};
+
+std::mutex mu;  // serial HDF5 is not thread-safe
+
+Api& api() {
+  static Api a = [] {
+    Api x{};
+    void* h = dlopen("libhdf5_serial.so.103", RTLD_NOW | RTLD_LOCAL);
+    if (!h) h = dlopen("libhdf5.so.310", RTLD_NOW | RTLD_LOCAL);
+    if (!h) h = dlopen("libhdf5.so", RTLD_NOW | RTLD_LOCAL);
+    if (!h) {
+      // h5py bundles its own copy; it is usually already loaded into the
+      // process, so a NOLOAD probe of common sonames finds it.
+      for (const char* so :
+           {"libhdf5-e2b51e27.so.310.5.1", "libhdf5.so.200",
+            "libhdf5.so.103"}) {
+        h = dlopen(so, RTLD_NOW | RTLD_NOLOAD);
+        if (h) break;
+      }
+    }
+    if (!h) return x;
+    auto sym = [&](const char* n) { return dlsym(h, n); };
+#define H5BIND(name) \
+  *(void**)(&x.name) = sym(#name); \
+  if (!x.name) return x;
+    H5BIND(H5open)
+    H5BIND(H5Fopen)
+    H5BIND(H5Fclose)
+    H5BIND(H5Dopen2)
+    H5BIND(H5Dclose)
+    H5BIND(H5Dget_space)
+    H5BIND(H5Sclose)
+    H5BIND(H5Screate_simple)
+    H5BIND(H5Sselect_hyperslab)
+    H5BIND(H5Dread)
+    H5BIND(H5Tcreate)
+    H5BIND(H5Tinsert)
+    H5BIND(H5Tclose)
+#undef H5BIND
+    x.H5open();
+    auto* ull = (hid_t*)sym("H5T_NATIVE_ULLONG_g");
+    auto* flt = (hid_t*)sym("H5T_NATIVE_FLOAT_g");
+    if (!ull || !flt) return x;
+    x.native_ullong = *ull;
+    x.native_float = *flt;
+    x.ok = true;
+    return x;
+  }();
+  return a;
+}
+
+#pragma pack(push, 1)
+struct VoxelRow {
+  uint64_t id;
+  float value;
+};
+#pragma pack(pop)
+static_assert(sizeof(VoxelRow) == 12, "packed voxel row");
+
+}  // namespace h5
+
+PyObject* have_native_hdf5(PyObject*, PyObject*) {
+  return PyBool_FromLong(h5::api().ok ? 1 : 0);
+}
+
+// read_voxel_slabs(path, dataset, slabs=[(first, n), ...]) ->
+//   list of (ids u64[n], values f32[n])
+PyObject* read_voxel_slabs(PyObject*, PyObject* args) {
+  const char* path;
+  const char* dataset;
+  PyObject* slabs_obj;
+  if (!PyArg_ParseTuple(args, "ssO", &path, &dataset, &slabs_obj))
+    return nullptr;
+  auto& H = h5::api();
+  if (!H.ok) {
+    PyErr_SetString(PyExc_RuntimeError, "native HDF5 unavailable (dlopen)");
+    return nullptr;
+  }
+  Py_ssize_t n_slabs = PySequence_Size(slabs_obj);
+  std::vector<std::pair<uint64_t, uint64_t>> slabs(static_cast<size_t>(n_slabs));
+  for (Py_ssize_t i = 0; i < n_slabs; ++i) {
+    PyObject* t = PySequence_GetItem(slabs_obj, i);
+    slabs[size_t(i)] = {PyLong_AsUnsignedLongLong(PySequence_GetItem(t, 0)),
+                        PyLong_AsUnsignedLongLong(PySequence_GetItem(t, 1))};
+    Py_DECREF(t);
+  }
+  std::vector<std::vector<h5::VoxelRow>> rows(static_cast<size_t>(n_slabs));
+  bool fail = false;
+  Py_BEGIN_ALLOW_THREADS {
+    std::lock_guard<std::mutex> lock(h5::mu);
+    h5::hid_t f = H.H5Fopen(path, h5::kAccRdonly, h5::kDefault);
+    if (f < 0) {
+      fail = true;
+    } else {
+      h5::hid_t d = H.H5Dopen2(f, dataset, h5::kDefault);
+      h5::hid_t memtype = H.H5Tcreate(h5::kCompound, sizeof(h5::VoxelRow));
+      H.H5Tinsert(memtype, "id", 0, H.native_ullong);
+      H.H5Tinsert(memtype, "value", 8, H.native_float);
+      if (d < 0 || memtype < 0) fail = true;
+      for (size_t i = 0; !fail && i < slabs.size(); ++i) {
+        h5::hsize_t start = slabs[i].first, count = slabs[i].second;
+        rows[i].resize(size_t(count));
+        if (count == 0) continue;
+        h5::hid_t fspace = H.H5Dget_space(d);
+        H.H5Sselect_hyperslab(fspace, h5::kSelectSet, &start, nullptr,
+                              &count, nullptr);
+        h5::hid_t mspace = H.H5Screate_simple(1, &count, nullptr);
+        if (H.H5Dread(d, memtype, mspace, fspace, h5::kDefault,
+                      rows[i].data()) < 0)
+          fail = true;
+        H.H5Sclose(mspace);
+        H.H5Sclose(fspace);
+      }
+      if (memtype >= 0) H.H5Tclose(memtype);
+      if (d >= 0) H.H5Dclose(d);
+      H.H5Fclose(f);
+    }
+  }
+  Py_END_ALLOW_THREADS
+  if (fail) {
+    PyErr_Format(PyExc_IOError, "HDF5 read failed: %s::%s", path, dataset);
+    return nullptr;
+  }
+  PyObject* out = PyList_New(n_slabs);
+  for (Py_ssize_t i = 0; i < n_slabs; ++i) {
+    npy_intp n = npy_intp(rows[size_t(i)].size());
+    PyArrayObject* ids =
+        (PyArrayObject*)PyArray_SimpleNew(1, &n, NPY_UINT64);
+    PyArrayObject* vals =
+        (PyArrayObject*)PyArray_SimpleNew(1, &n, NPY_FLOAT32);
+    auto* ip = (uint64_t*)PyArray_DATA(ids);
+    auto* vp = (float*)PyArray_DATA(vals);
+    for (npy_intp j = 0; j < n; ++j) {
+      ip[j] = rows[size_t(i)][size_t(j)].id;
+      vp[j] = rows[size_t(i)][size_t(j)].value;
+    }
+    PyList_SET_ITEM(out, i, Py_BuildValue("(NN)", ids, vals));
+  }
+  return out;
+}
+
 PyMethodDef methods[] = {
+    {"have_native_hdf5", (PyCFunction)have_native_hdf5, METH_NOARGS,
+     "True if the dlopen'd HDF5 C library is usable."},
+    {"read_voxel_slabs", (PyCFunction)read_voxel_slabs, METH_VARARGS,
+     "read_voxel_slabs(path, dataset, [(first, n), ...]) -> "
+     "[(ids u64[n], values f32[n]), ...] — GIL-free slab reads."},
     {"build_window_plans", (PyCFunction)build_window_plans,
      METH_VARARGS | METH_KEYWORDS,
      "Threaded host-side site-pyramid + window-plan construction.\n"

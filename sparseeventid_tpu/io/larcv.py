@@ -225,6 +225,29 @@ class LarcvDataset:
         coords[:, 0] = rem
         return coords
 
+    def _native_event_voxels(self, indices):
+        """GIL-free HDF5 slab reads via the C++ extension (one call per
+        batch — replaces per-event h5py reads on the hot path; the role
+        larcv3's C++ IOManager plays, larcv_fetcher.py:59-77)."""
+        from . import _hostio  # type: ignore
+
+        slabs = []
+        for idx in indices:
+            first = int(self.extents[int(idx)]["first"])
+            ve = self.voxel_extents[first]  # first projection only (3D)
+            slabs.append((int(ve["first"]), int(ve["n"])))
+        gname = f"/Data/sparse{self.dimension}d_{self.image_key}_group/voxels"
+        return _hostio.read_voxel_slabs(self.path, gname, slabs)
+
+    @property
+    def _native_read(self) -> bool:
+        try:
+            from . import _hostio  # type: ignore
+
+            return bool(_hostio.have_native_hdf5())
+        except ImportError:
+            return False
+
     def batch(self, indices) -> Dict[str, np.ndarray]:
         b = len(indices)
         d = len(self._grid)
@@ -232,11 +255,14 @@ class LarcvDataset:
             # native threaded assembly (io/_hostio.cpp) with numpy fallback
             from .hostio import assemble_sparse_batch
 
-            events = [
-                (ids.astype(np.uint64), vals)
-                for idx in indices
-                for ids, vals in self._event_voxels(int(idx))[:1]
-            ]
+            if self._native_read:
+                events = self._native_event_voxels(indices)
+            else:
+                events = [
+                    (ids.astype(np.uint64), vals)
+                    for idx in indices
+                    for ids, vals in self._event_voxels(int(idx))[:1]
+                ]
             image = assemble_sparse_batch(
                 events, self.max_voxels, self._grid, normalize=self.normalize
             )

@@ -62,3 +62,33 @@ def test_native_augment_deterministic_and_bounded():
     valid = np.all(a1[..., :3] != -999.0, axis=-1)
     c = a1[valid][:, :3]
     assert c.min() >= 0 and c.max() < 32
+
+
+def test_native_hdf5_reads_match_h5py(tmp_path):
+    """GIL-free C++ slab reads (io/_hostio.cpp read_voxel_slabs) produce
+    byte-identical batches to the h5py path."""
+    import numpy as np
+
+    from sparseeventid_tpu.io import _hostio
+    from sparseeventid_tpu.io.larcv import (
+        LarcvDataset,
+        write_synthetic_larcv_file,
+    )
+
+    if not _hostio.have_native_hdf5():
+        import pytest
+
+        pytest.skip("no dlopen-able HDF5 runtime")
+    p = tmp_path / "g.h5"
+    write_synthetic_larcv_file(p, 12, image_size=(32, 32, 32), seed=5)
+    ds = LarcvDataset(p, "dunevoxels", max_voxels=1024)
+    idx = [3, 0, 7, 11]
+    assert ds._native_read
+    b_native = ds.batch(idx)
+    orig = LarcvDataset._native_read
+    try:
+        LarcvDataset._native_read = property(lambda self: False)
+        b_py = ds.batch(idx)
+    finally:
+        LarcvDataset._native_read = orig
+    assert (b_native["image"] == b_py["image"]).all()

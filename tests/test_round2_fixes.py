@@ -127,7 +127,7 @@ def test_overflow_dropped_metric_fires():
     model_ok = build_sparse_classifier(cfg)
     state2 = create_train_state(model_ok, optimizer, jax.random.PRNGKey(0), st0)
     step2 = jax.jit(make_train_step(model_ok, optimizer, LossBalanceScheme.focal, lr))
-    _, m2 = step2(state2, st0, labels0, jax.random.PRNGKey(1))
+    _, m2 = step2(state2, st0, labels0, None, jax.random.PRNGKey(1))
     assert int(m2["overflow/dropped"]) == 0
 
 

@@ -127,9 +127,21 @@ def test_checkpoint_roundtrip(tmp_path):
 
 
 def test_dp_step_matches_single_device():
-    """shard_map over 8 CPU devices == single-device step on the same batch
-    (sync BN + pmean grads make them bitwise-comparable in f32)."""
-    cfg, model_single, ds = tiny_setup(batch=8)
+    """shard_map over 8 CPU devices == 1-device step on the same batch and
+    the same platform (sync BN + pmean grads make them comparable; the XLA
+    backend keeps both sides on identical pure-XLA ops — kernel equality
+    has its own on-TPU tests, scripts/check_window_tpu.py)."""
+    from jax.sharding import Mesh
+
+    cfg, _, ds = tiny_setup(batch=8)
+    cfg = dataclasses.replace(
+        cfg,
+        framework=dataclasses.replace(cfg.framework, sparse_backend="xla"),
+        # dropout masks are drawn per device over LOCAL shapes, so 1-way and
+        # 8-way draws differ; zero it for a deterministic comparison
+        head=dataclasses.replace(cfg.head, dropout=0.0),
+    )
+    model_single = build_sparse_classifier(cfg)
     model_dp = build_sparse_classifier(cfg, axis_name="data")
     opt_cfg = cfg.mode.optimizer
     lr = build_lr_schedule(opt_cfg.lr_schedule, 8, 10)
@@ -138,14 +150,24 @@ def test_dp_step_matches_single_device():
     st, labels = get_batch(ds, 0, 8)
     state = create_train_state(model_single, optimizer, jax.random.PRNGKey(0), st)
 
-    # single-device reference
-    step1 = jax.jit(
-        make_train_step(model_single, optimizer, LossBalanceScheme.focal, lr)
+    cpu = jax.devices("cpu")
+    # 1-device CPU "mesh" reference: identical platform as the 8-way run
+    mesh1 = Mesh(np.array(cpu[:1]), ("data",))
+    step1 = make_dp_train_step(
+        make_train_step(
+            model_dp, optimizer, LossBalanceScheme.focal, lr, axis_name="data"
+        ),
+        mesh1,
+        n_batch_args=3,
     )
-    s1, m1 = step1(state, st, labels, None, jax.random.PRNGKey(7))
+    st1, labels1 = shard_batch(mesh1, (st, labels))
+    state1 = shard_batch(mesh1, state, axis=None) if False else jax.device_put(
+        state, jax.sharding.NamedSharding(mesh1, jax.sharding.PartitionSpec())
+    )
+    s1, m1 = step1(state1, st1, labels1, None, jax.random.PRNGKey(7))
 
     # 8-way data parallel
-    mesh = make_mesh(8)
+    mesh = Mesh(np.array(cpu[:8]), ("data",))
     step8 = make_dp_train_step(
         make_train_step(
             model_dp, optimizer, LossBalanceScheme.focal, lr, axis_name="data"
@@ -154,7 +176,10 @@ def test_dp_step_matches_single_device():
         n_batch_args=3,
     )
     st_sh, labels_sh = shard_batch(mesh, (st, labels))
-    s8, m8 = step8(state, st_sh, labels_sh, None, jax.random.PRNGKey(7))
+    state8 = jax.device_put(
+        state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    s8, m8 = step8(state8, st_sh, labels_sh, None, jax.random.PRNGKey(7))
 
     np.testing.assert_allclose(
         float(m1["loss/loss"]), float(m8["loss/loss"]), rtol=1e-5
