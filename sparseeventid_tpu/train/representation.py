@@ -51,7 +51,8 @@ class RepresentationModel(nn.Module):
 
     @nn.compact
     def __call__(
-        self, view1: SparseTensor, view2: SparseTensor, train: bool = True
+        self, view1: SparseTensor, view2: SparseTensor, train: bool = True,
+        plans1=None, plans2=None,
     ) -> Tuple[jax.Array, jax.Array]:
         encoder = Encoder(
             self.encoder_cfg,
@@ -63,8 +64,8 @@ class RepresentationModel(nn.Module):
             name="encoder",
         )
         projector = ProjectionHead(out=self.projection_dim, name="projector")
-        z1 = projector(pool_encoded(encoder(view1, train)))
-        z2 = projector(pool_encoded(encoder(view2, train)))
+        z1 = projector(pool_encoded(encoder(view1, train, plans1)))
+        z2 = projector(pool_encoded(encoder(view2, train, plans2)))
         return z1, z2
 
 
@@ -74,24 +75,31 @@ def make_simclr_train_step(
     lr_schedule: Callable | None = None,
     temperature: float = 0.1,
     axis_name: str | None = None,
+    plans_builder=None,
 ):
-    """step(state, view1, view2, rng) -> (state, metrics)."""
+    """step(state, view1, view2, host_plans, rng) -> (state, metrics).
 
-    def loss_fn(params, batch_stats, v1, v2, rng):
+    ``host_plans`` is a (dict1, dict2) pair of host-built plan arrays for
+    the two augmented views (or None for the device plan builders)."""
+
+    def loss_fn(params, batch_stats, v1, v2, host, rng):
+        extra = ()
+        if plans_builder is not None and host is not None:
+            extra = (plans_builder(v1, host[0]), plans_builder(v2, host[1]))
         (z1, z2), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            v1, v2, True,
+            v1, v2, True, *extra,
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )
         loss = nt_xent_loss(z1, z2, temperature, axis_name=axis_name)
         return loss, (z1, z2, mutated["batch_stats"])
 
-    def step(state: TrainState, v1, v2, rng):  # noqa: D401
+    def step(state: TrainState, v1, v2, host, rng):  # noqa: D401
         rng = jax.random.fold_in(rng, state.step)
         (loss, (z1, z2, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, v1, v2, rng)
+        )(state.params, state.batch_stats, v1, v2, host, rng)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
@@ -115,11 +123,15 @@ def make_simclr_eval_step(
     model: RepresentationModel,
     temperature: float = 0.1,
     axis_name: str | None = None,
+    plans_builder=None,
 ):
-    """eval(state, view1, view2) -> metrics (rep_trainer validation parity)."""
+    """eval(state, view1, view2, host_plans) -> metrics."""
 
-    def step(state: TrainState, v1, v2):
-        z1, z2 = model.apply(state.variables(), v1, v2, False)
+    def step(state: TrainState, v1, v2, host):
+        extra = ()
+        if plans_builder is not None and host is not None:
+            extra = (plans_builder(v1, host[0]), plans_builder(v2, host[1]))
+        z1, z2 = model.apply(state.variables(), v1, v2, False, *extra)
         metrics = {
             "loss/loss": nt_xent_loss(z1, z2, temperature, axis_name=axis_name),
             "acc/top1": nt_xent_top_k_accuracy(z1, z2, temperature, 1),

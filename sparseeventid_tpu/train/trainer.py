@@ -443,27 +443,47 @@ class Trainer:
         )
         model = RepresentationModel(**kwargs, axis_name=self.axis_name)
 
+        pb = self._plans_builder()
+
         def prepare(batch):
             image = batch["image"]
             v1 = self._augment(image) if t1 else image
             v2 = self._augment(image) if t2 else image
+            host = None
+            if pb is not None:
+                # per-view plans: the augmented coordinate sets differ
+                host = (
+                    self._compute_host_plans(v1),
+                    self._compute_host_plans(v2),
+                )
             return self._shard(
-                (self._image_to_input(v1), self._image_to_input(v2))
+                (self._image_to_input(v1), self._image_to_input(v2), host)
             )
 
-        st1, st2 = prepare(self._example_batch())
+        st1, st2, host0 = prepare(self._example_batch())
         init_model = RepresentationModel(**kwargs) if self.axis_name else model
-        init = jax.jit(init_model.init, static_argnums=(3,))
-        variables = init(jax.random.PRNGKey(cfg.run.seed), st1, st2, True)
+
+        def init_fn(rng, v1, v2, host):
+            extra = ()
+            if pb is not None and host is not None:
+                extra = (pb(v1, host[0]), pb(v2, host[1]))
+            return init_model.init(rng, v1, v2, True, *extra)
+
+        variables = jax.jit(init_fn)(
+            jax.random.PRNGKey(cfg.run.seed), st1, st2, host0
+        )
         state = self._finish_state(variables, optimizer)
 
         train_step = make_simclr_train_step(
-            model, optimizer, lr_schedule, axis_name=self.axis_name
+            model, optimizer, lr_schedule, axis_name=self.axis_name,
+            plans_builder=pb,
         )
-        eval_step = make_simclr_eval_step(model, axis_name=self.axis_name)
+        eval_step = make_simclr_eval_step(
+            model, axis_name=self.axis_name, plans_builder=pb
+        )
         if self.mesh is not None:
-            train_step = make_dp_train_step(train_step, self.mesh)
-            eval_step = make_dp_eval_step(eval_step, self.mesh)
+            train_step = make_dp_train_step(train_step, self.mesh, n_batch_args=3)
+            eval_step = make_dp_eval_step(eval_step, self.mesh, n_batch_args=3)
         else:
             train_step = jax.jit(train_step)
             eval_step = jax.jit(eval_step)

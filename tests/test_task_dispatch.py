@@ -58,7 +58,7 @@ def test_simclr_views_differ(tmp_path):
         out = trainer._build_training()
         prepare = out[4]
         batch = trainer.datasets["train"].batch([0, 1])
-        v1, v2 = prepare(batch)
+        v1, v2 = prepare(batch)[:2]
         assert not np.array_equal(np.asarray(v1.coords), np.asarray(v2.coords))
     finally:
         trainer._shutdown()

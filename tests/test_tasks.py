@@ -76,7 +76,7 @@ def test_simclr_step_decreases_loss():
     step = jax.jit(make_simclr_train_step(model, opt, lr))
     losses = []
     for i in range(6):
-        state, m = step(state, v1, v2, jax.random.PRNGKey(2))
+        state, m = step(state, v1, v2, None, jax.random.PRNGKey(2))
         losses.append(float(m["loss/loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
