@@ -380,6 +380,118 @@ def window_conv_apply(
     return out[:, :m]
 
 
+def _dw_kernel(
+    live_ref,  # SMEM i32[B, 1]
+    keys_ref,  # [1, Npad, 1] VMEM
+    table_ref,  # [1, Npad, C] VMEM
+    qk_ref,  # [1, T, K] VMEM
+    start_ref,  # [1, n_tiles, K] SMEM
+    gy_ref,  # [1, T, CO] VMEM (output cotangent tile)
+    dw_ref,  # [KC_pad, CO] f32 VMEM (accumulated across the whole grid)
+    g_scratch,  # [T, KC_pad] VMEM
+    oh_scratch,  # [K, R, T] VMEM
+    s_scratch,  # [K, R, C] VMEM
+    *,
+    k: int,
+    c: int,
+    kc_pad: int,
+    window_r: int,
+):
+    """dW += g_tile^T @ gy_tile, fused with the window gather — no [B, M,
+    K*C] materialization in HBM and no XLA einsum (the round-1/2 backward
+    wrote ~700 MB of gathered rows per level-0 conv just to contract them
+    immediately)."""
+    tile = pl.program_id(1)
+    first = (pl.program_id(0) == 0) & (tile == 0)
+
+    @pl.when(first)
+    def _zero():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    @pl.when(tile < live_ref[pl.program_id(0), 0])
+    def _live():
+        if kc_pad > k * c:
+            g_scratch[:, k * c:] = jnp.zeros_like(g_scratch[:, k * c:])
+        qt = qk_ref[0].transpose(1, 0)
+        for kk in range(k):
+            start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
+            win = keys_ref[0, pl.ds(start, window_r), 0]
+            oh_scratch[kk] = (
+                win[:, None] == qt[kk][None, :]
+            ).astype(oh_scratch.dtype)
+            s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
+        gkt = jax.lax.dot_general(
+            oh_scratch[:], s_scratch[:],
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(g_scratch.dtype)
+        for kk in range(k):
+            g_scratch[:, kk * c: (kk + 1) * c] = gkt[kk]
+        dw_ref[...] += jax.lax.dot_general(
+            g_scratch[:], gy_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [KC_pad, CO] f32
+
+
+def window_dw(
+    keys: jax.Array,  # [B, N_in] table keys
+    feats: jax.Array,  # [B, N_in, C] table features
+    qkeys: jax.Array,  # [B, M, K]
+    start: jax.Array,  # [B, n_tiles, K]
+    gy: jax.Array,  # [B, M, CO] output cotangent
+    q_active: jax.Array,
+    interpret: bool = False,
+    window_r: int = WINDOW_R,
+) -> jax.Array:
+    """-> dW f32[K, C, CO] = sum over pairs of x[src] (x) gy[dst] for the
+    in-window pairs of the plan."""
+    b, m, k = qkeys.shape
+    c = feats.shape[-1]
+    co = gy.shape[-1]
+    pk, pt = _padded_table(keys, feats)
+    npad = pk.shape[1]
+    n_tiles = _cdiv(m, TILE_T)
+    qk_p = _pad_rows(qkeys, n_tiles * TILE_T, INVALID_QUERY)
+    gy_p = _pad_rows(gy, n_tiles * TILE_T, 0)
+    kc_pad = _round_up(k * c, 128)
+    live2 = _live_tiles(q_active, m)[:, None]
+    kern = functools.partial(
+        _dw_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r
+    )
+    dw = pl.pallas_call(
+        kern,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(live2.shape, lambda bb, i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, npad, 1), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_T, k), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TILE_T, co), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kc_pad, co), lambda bb, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kc_pad, co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_T, kc_pad), feats.dtype),
+            pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
+            pltpu.VMEM((k, window_r, c), feats.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(live2, pk[..., None], pt, qk_p, start, gy_p)
+    return dw[: k * c].reshape(k, c, co)
+
+
 def window_gather(
     keys: jax.Array,
     feats: jax.Array,

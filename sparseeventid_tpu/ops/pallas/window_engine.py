@@ -37,6 +37,7 @@ from .window_conv import (
     overflow_apply,
     overflow_dw,
     window_conv_apply,
+    window_dw,
     window_gather,
     window_plan,
 )
@@ -310,13 +311,19 @@ def _subm_bwd(offsets, interpret, window_r, res, gy):
     dx = _apply_overflow_any(
         dx, gy, w_t[perm_np], ov_src, ov_dst, ov_k, ov_valid, interpret
     )
-    # dW = g^T dy (+ forward-plan overflow pairs — the gather is the
-    # forward plan's window set, so the forward list is its complement)
-    g = window_gather(keys, feats, qkeys, start, q_active,
-                      interpret=interpret, window_r=window_r)
-    dw = jnp.einsum(
-        "bnm,bno->mo", g.astype(jnp.float32), gy.astype(jnp.float32)
-    ).reshape(k, c, co)
+    # dW (+ forward-plan overflow pairs — the window part covers the
+    # forward plan's in-window set, so the forward list is its complement).
+    # Compiled path: fused gather+contract kernel (no [B, M, K*C] HBM
+    # round-trip); interpret keeps the two-step formulation.
+    if interpret:
+        g = window_gather(keys, feats, qkeys, start, q_active,
+                          interpret=interpret, window_r=window_r)
+        dw = jnp.einsum(
+            "bnm,bno->mo", g.astype(jnp.float32), gy.astype(jnp.float32)
+        ).reshape(k, c, co)
+    else:
+        dw = window_dw(keys, feats, qkeys, start, gy, q_active,
+                       window_r=window_r)
     dw = dw + _overflow_dw_any(
         feats, gy, ov_src, ov_dst, ov_k, ov_valid, k, interpret
     )
@@ -391,13 +398,18 @@ def _strided_bwd(offsets, interpret, f_r, r_r, res, gy):
     dx = _apply_overflow_any(
         dx, gy, w_t, ro_src, ro_dst, ro_k, ro_val, interpret
     )
-    # dW via reverse gather: g1[b, n_in, K*CO] = dY[parent] in the row's
-    # offset column; dW[k] = sum_n x[n] g1[n, k].
-    g1 = window_gather(keys_out, gy, rq, rs, r_act, interpret=interpret,
-                       window_r=r_r)
-    dw = jnp.einsum(
-        "bnc,bnm->mc", feats.astype(jnp.float32), g1.astype(jnp.float32)
-    ).reshape(k, co, c).transpose(0, 2, 1)
+    # dW via the reverse plan: g1[b, n_in, K*CO] = dY[parent] in the row's
+    # offset column; dW[k] = sum_n x[n] (x) g1[n, k]. Compiled path: fused
+    # kernel with (table=gy, cotangent=x) -> [K, CO, C], transposed.
+    if interpret:
+        g1 = window_gather(keys_out, gy, rq, rs, r_act, interpret=interpret,
+                           window_r=r_r)
+        dw = jnp.einsum(
+            "bnc,bnm->mc", feats.astype(jnp.float32), g1.astype(jnp.float32)
+        ).reshape(k, co, c).transpose(0, 2, 1)
+    else:
+        dw = window_dw(keys_out, gy, rq, rs, feats, r_act,
+                       window_r=r_r).transpose(0, 2, 1)
     dw = dw + _overflow_dw_any(
         feats, gy, ro_dst, ro_src, ro_k, ro_val, k, interpret
     )
