@@ -28,7 +28,7 @@ ASSUMED_A100_MINKOWSKI_EVENTS_PER_S = 30.0
 GRID = (1024, 512, 1280)
 MAX_VOXELS = 50000
 ACTIVE_VOXELS = 25000  # typical occupancy is well under the 50k cap
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 WARMUP = 2
 ITERS = 10
 BLOCKS = 3  # timed blocks; report mean +/- std across blocks (VERDICT r1 #7)
