@@ -250,6 +250,11 @@ class ConvRepresentation(Repr):
     plane_merge_depth: int = -1
     # Per-label final BlockSeries before the heads (sparseresnet.py:285-333)
     per_label_final_series: bool = False
+    # Window-engine static query bound as a fraction of each level's voxel
+    # capacity (1.0 = full).  Capacity is a budget, not the workload: tiles
+    # past the bound skip the kernel grid; any n_active excess over the
+    # bound is surfaced in the overflow/dropped metric (never silent).
+    query_bound_frac: float = 1.0
 
 
 @dataclass

@@ -204,7 +204,8 @@ class ConvolutionDownsample(nn.Module):
             )
         else:
             skeleton, plan, ds_dropped = build_downsample_plan(
-                st, self.stride, self.out_capacity, backend=self.backend
+                st, self.stride, self.out_capacity, backend=self.backend,
+                q_bound_frac=getattr(self.params, "query_bound_frac", 1.0),
             )
             self.sow(
                 "diagnostics", "dropped",

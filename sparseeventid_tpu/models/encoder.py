@@ -121,7 +121,8 @@ class Encoder(nn.Module):
             )
         else:
             rb = build_series_plan(
-                st, self._kernel(5, 0), backend=self.backend
+                st, self._kernel(5, 0), backend=self.backend,
+                q_bound_frac=p.query_bound_frac,
             )
         self._sow_overflow(rb)
         w0 = self.param(
@@ -150,7 +151,8 @@ class Encoder(nn.Module):
                 rb = plans.series[i]
             else:
                 rb = build_series_plan(
-                    st, self._kernel(p.filter_size, i), backend=self.backend
+                    st, self._kernel(p.filter_size, i), backend=self.backend,
+                    q_bound_frac=p.query_bound_frac,
                 )
             self._sow_overflow(rb)
             st = series_cls(
@@ -178,7 +180,8 @@ class Encoder(nn.Module):
             rb = plans.series[p.depth]
         else:
             rb = build_series_plan(
-                st, self._kernel(p.filter_size, p.depth), backend=self.backend
+                st, self._kernel(p.filter_size, p.depth), backend=self.backend,
+                q_bound_frac=p.query_bound_frac,
             )
         self._sow_overflow(rb)
         st = series_cls(

@@ -42,6 +42,22 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def query_bound(capacity: int, frac: float | None) -> int | None:
+    """Static query-row bound for the window kernels: a fraction of the
+    level capacity, rounded up to a whole grid step (TILE_T*TILES_PER_STEP).
+    None (frac>=1) keeps the full capacity.  Tiles past the bound skip the
+    kernel grid entirely; plan_overflow_dropped surfaces any excess of
+    n_active over the bound so a misconfigured fraction is never silent."""
+    if frac is None or frac >= 1.0:
+        return None
+    from .pallas.window_conv import TILE_T, TILES_PER_STEP
+
+    step = TILE_T * TILES_PER_STEP
+    b = max(int(capacity * frac), step)
+    b = ((b + step - 1) // step) * step
+    return None if b >= capacity else b
+
+
 def _overflow_cap(capacity: int, k: int = 27) -> int:
     """Overflow sidecar capacity, scaled to the level's voxel capacity AND
     to the offset count: candidates are dominated by queries whose anchor
@@ -53,7 +69,8 @@ def _overflow_cap(capacity: int, k: int = 27) -> int:
     return max(256, min(12288, (capacity // 16) * scale))
 
 
-def build_series_plan(st: SparseTensor, kernel_size, backend: str = XLA):
+def build_series_plan(st: SparseTensor, kernel_size, backend: str = XLA,
+                      q_bound_frac: float = 1.0):
     if backend == WINDOW:
         k = 1
         for ks in kernel_size:
@@ -61,6 +78,7 @@ def build_series_plan(st: SparseTensor, kernel_size, backend: str = XLA):
         return build_submanifold_window_plan(
             st, kernel_size, overflow_cap=_overflow_cap(st.capacity, k),
             interpret=_interpret(),
+            q_bound=query_bound(st.capacity, q_bound_frac),
         )
     return build_submanifold_rulebook(st, kernel_size)
 
@@ -78,6 +96,7 @@ def build_downsample_plan(
     stride: Sequence[int],
     out_capacity: int | None = None,
     backend: str = XLA,
+    q_bound_frac: float = 1.0,
 ) -> Tuple[SparseTensor, object, jax.Array]:
     """Returns (skeleton, plan, dropped) — ``dropped`` counts unique output
     sites lost to the static capacity per event (never silent)."""
@@ -89,6 +108,8 @@ def build_downsample_plan(
         plans = build_strided_window_plans(
             st, skeleton, stride, overflow_cap=_overflow_cap(st.capacity, k),
             interpret=_interpret(),
+            q_bound=query_bound(skeleton.capacity, q_bound_frac),
+            rev_q_bound=query_bound(st.capacity, q_bound_frac),
         )
         return skeleton, plans, dropped
     return skeleton, build_downsample_rulebook(st, skeleton, stride), dropped
@@ -101,10 +122,16 @@ def plan_overflow_dropped(plan) -> jax.Array:
     corruption (window_engine.py WindowPlan.ov_dropped)."""
     import jax.numpy as jnp
 
+    def one(p):
+        tot = jnp.sum(p.ov_dropped)
+        if p.q_bound is not None:
+            tot = tot + jnp.sum(jnp.maximum(p.q_active - p.q_bound, 0))
+        return tot
+
     if isinstance(plan, WindowPlan):
-        return jnp.sum(plan.ov_dropped)
+        return one(plan)
     if isinstance(plan, tuple) and plan and isinstance(plan[0], WindowPlan):
-        return sum(jnp.sum(p.ov_dropped) for p in plan)
+        return sum(one(p) for p in plan)
     return jnp.zeros((), jnp.int32)
 
 

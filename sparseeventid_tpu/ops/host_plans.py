@@ -26,6 +26,7 @@ from .pallas.window_conv import (
     compute_query_keys,
 )
 from .pallas.window_engine import WindowPlan
+from .engine import query_bound
 from .rulebook import kernel_offsets
 from .sparse_tensor import INVALID_KEY, SparseTensor, linearize
 
@@ -49,6 +50,7 @@ def _plan_from_host(
     q_active: jax.Array,
     offsets: np.ndarray,
     window_r: int = WINDOW_R,
+    q_bound_frac: float = 1.0,
 ) -> WindowPlan:
     return WindowPlan(
         qkeys=qkeys,
@@ -61,6 +63,7 @@ def _plan_from_host(
         ov_dropped=host[f"{prefix}/ov_dropped"],
         offsets=tuple(map(tuple, offsets.tolist())),
         window_r=window_r,
+        q_bound=query_bound(qkeys.shape[1], q_bound_frac),
     )
 
 
@@ -111,6 +114,7 @@ def encoder_plans_from_host(
     initial_kernel,
     series_kernel,
     stride,
+    q_bound_frac: float = 1.0,
 ) -> EncoderPlans:
     """Assemble EncoderPlans from the host plan dict (jit-traceable).
 
@@ -141,12 +145,14 @@ def encoder_plans_from_host(
     initial = _plan_from_host(
         host, "initial",
         compute_query_keys(st0, i_offs), st0.n_active, i_offs,
+        q_bound_frac=q_bound_frac,
     )
     series = tuple(
         _plan_from_host(
             host, f"lvl{l}/series",
             compute_query_keys(levels[l], s_offs),
             levels[l].n_active, s_offs,
+            q_bound_frac=q_bound_frac,
         )
         for l in range(depth + 1)
     )
@@ -157,11 +163,13 @@ def encoder_plans_from_host(
                 _strided_qkeys(levels[l + 1], levels[l], stride, d_offs),
                 levels[l + 1].n_active, d_offs,
                 window_r=WINDOW_R_STRIDED,
+                q_bound_frac=q_bound_frac,
             ),
             _plan_from_host(
                 host, f"lvl{l}/down_r",
                 _reverse_qkeys(levels[l], levels[l + 1], stride, kd),
                 levels[l].n_active, d_offs,
+                q_bound_frac=q_bound_frac,
             ),
         )
         for l in range(depth)

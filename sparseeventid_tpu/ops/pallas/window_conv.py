@@ -56,6 +56,19 @@ WINDOW_R_STRIDED = 320  # strided fwd: parent table is ~2x denser than the
                         # child queries, so per-tile spans approach 2*T
 PLAN_R = 384
 START_ALIGN = 16
+# Query tiles processed per grid step.  Mosaic's per-grid-step fixed cost
+# (~1.4-4.5 us/step measured with an empty body at level-0 shapes) made the
+# 1-tile-per-step grid overhead-bound; fatter steps amortize it.
+TILES_PER_STEP = 4
+
+
+def _group_size(k: int, c: int) -> int:
+    """Offsets per MXU group: pack G=128//C offsets' windows into one
+    block-diagonal dot so the 128-lane output is full at C<128.  The
+    per-offset batched dot padded C up to 128 lanes (4x waste at C=32) and
+    needed a [T, K*C] scratch round-trip; the grouped form writes the
+    second-GEMM operand directly."""
+    return max(1, min(k, 128 // max(c, 1)))
 
 # Sentinel for invalid queries: never equals a real key (>= 0) nor the
 # INVALID_KEY padding of the table.
@@ -244,52 +257,75 @@ def window_plan(
 # --------------------------------------------------------------------------
 
 def _conv_kernel(
-    live_ref,  # SMEM i32[1]
+    live_ref,  # SMEM i32[B, 1]
     keys_ref,  # [1, Npad, 1] VMEM (sublane-major)
     table_ref,  # [1, Npad, C] VMEM
-    qk_ref,  # [1, T, K] VMEM
+    qk_ref,  # [1, P*T, K] VMEM
     start_ref,  # [1, n_tiles, K] SMEM (full)
-    w_ref,  # [KC_pad, CO] VMEM
-    out_ref,  # [1, T, CO] VMEM
-    g_scratch,  # [T, KC_pad] VMEM
-    oh_scratch,  # [K, R, T] VMEM (match one-hots)
-    s_scratch,  # [K, R, C] VMEM (staged window tables)
+    w_ref,  # [G_total*GL, CO] VMEM
+    out_ref,  # [1, P*T, CO] VMEM
+    oh_scratch,  # [Gn, G*R, T] VMEM (stacked match one-hots)
+    s_scratch,  # [Gn, G*R, G*C] VMEM (block-diagonal staged windows)
     *,
     k: int,
     c: int,
-    kc_pad: int,
     window_r: int,
+    p: int,
 ):
-    tile = pl.program_id(1)
+    """P query tiles per step; offsets packed G=128//C per block-diagonal
+    dot.  Group g stages offset kk=g*G+j's window at rows [j*R, (j+1)*R) and
+    lanes [j*C, (j+1)*C): off-diagonal blocks (and the tail group's unused
+    slots) are zeroed ONCE at the first grid step and never written again,
+    so each grouped dot yields [T, G*C] — a direct lane-slice of the
+    implicit [T, K*C] gathered matrix, consumed by the weight GEMM without
+    any scratch round-trip."""
+    step = pl.program_id(1)
+    g_off = _group_size(k, c)
+    n_groups = _cdiv(k, g_off)
+    glanes = g_off * c
 
-    @pl.when(tile >= live_ref[pl.program_id(0), 0])
-    def _dead():
-        out_ref[0] = jnp.zeros(out_ref.shape[1:], out_ref.dtype)
+    @pl.when((pl.program_id(0) == 0) & (step == 0))
+    def _init():
+        s_scratch[...] = jnp.zeros_like(s_scratch)
+        oh_scratch[...] = jnp.zeros_like(oh_scratch)
 
-    @pl.when(tile < live_ref[pl.program_id(0), 0])
-    def _live():
-        if kc_pad > k * c:
-            g_scratch[:, k * c:] = jnp.zeros_like(g_scratch[:, k * c:])
-        qt = qk_ref[0].transpose(1, 0)  # [K, T] lanes=T
-        for kk in range(k):
-            start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
-            win = keys_ref[0, pl.ds(start, window_r), 0]  # [R] sublane
-            oh_scratch[kk] = (
-                win[:, None] == qt[kk][None, :]
-            ).astype(oh_scratch.dtype)  # [R, T]
-            s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
-        gkt = jax.lax.dot_general(  # [K, T, C]
-            oh_scratch[:], s_scratch[:],
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(g_scratch.dtype)
-        for kk in range(k):  # flat layout for the single big GEMM
-            g_scratch[:, kk * c: (kk + 1) * c] = gkt[kk]
-        out_ref[0] = jax.lax.dot_general(
-            g_scratch[:], w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+    for pp in range(p):
+        tile = step * p + pp
+
+        @pl.when(tile >= live_ref[pl.program_id(0), 0])
+        def _dead(pp=pp):
+            out_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :] = jnp.zeros(
+                (TILE_T, out_ref.shape[2]), out_ref.dtype
+            )
+
+        @pl.when(tile < live_ref[pl.program_id(0), 0])
+        def _live(pp=pp, tile=tile):
+            qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
+            for kk in range(k):
+                g, j = divmod(kk, g_off)
+                start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
+                win = keys_ref[0, pl.ds(start, window_r), 0]  # [R] sublane
+                oh_scratch[g, j * window_r:(j + 1) * window_r, :] = (
+                    win[:, None] == qt[kk][None, :]
+                ).astype(oh_scratch.dtype)
+                s_scratch[
+                    g, j * window_r:(j + 1) * window_r, j * c:(j + 1) * c
+                ] = table_ref[0, pl.ds(start, window_r), :]
+            acc = jnp.zeros((TILE_T, out_ref.shape[2]), jnp.float32)
+            for g in range(n_groups):
+                got = jax.lax.dot_general(  # [T, G*C]
+                    oh_scratch[g], s_scratch[g],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(s_scratch.dtype)
+                acc += jax.lax.dot_general(
+                    got, w_ref[g * glanes:(g + 1) * glanes, :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :] = acc.astype(
+                out_ref.dtype
+            )
 
 
 def _gather_kernel(
@@ -322,6 +358,23 @@ def _gather_kernel(
             g_ref[0, :, kk * c: (kk + 1) * c] = gkt[kk]
 
 
+def _bounded_queries(qkeys, start, q_bound, p):
+    """Slice the query side to a static row bound (a multiple of P*T tiles).
+
+    The static capacity is a budget, not the workload: with detector
+    occupancies well under capacity, most query tiles are dead yet still pay
+    the per-grid-step fixed cost.  ``q_bound`` (plan-level static) truncates
+    the grid; rows past it are implicitly zero (the engine pads the output
+    back and surfaces ``max(n_active - q_bound, 0)`` as a metric)."""
+    m = qkeys.shape[1]
+    if q_bound is None or q_bound >= m:
+        return qkeys, start, m
+    qb = _round_up(q_bound, TILE_T * p)
+    if qb >= m:
+        return qkeys, start, m
+    return qkeys[:, :qb], start[:, : qb // TILE_T], qb
+
+
 def window_conv_apply(
     keys: jax.Array,  # [B, N_in] sorted keys of the table site set
     feats: jax.Array,  # [B, N_in, C] table features
@@ -331,25 +384,34 @@ def window_conv_apply(
     q_active: jax.Array,  # i32[B] live rows on the query side
     interpret: bool = False,
     window_r: int = WINDOW_R,
+    q_bound: int | None = None,
 ) -> jax.Array:
     """-> [B, M, CO] in-window contributions (overflow pairs excluded)."""
     b, m, k = qkeys.shape
     c = feats.shape[-1]
     co = w.shape[-1]
+    p = TILES_PER_STEP
+    qkeys, start, mb = _bounded_queries(qkeys, start, q_bound, p)
     pk, pt = _padded_table(keys, feats)
     npad = pk.shape[1]
-    n_tiles = _cdiv(m, TILE_T)
+    n_steps = _cdiv(mb, TILE_T * p)
+    n_tiles = n_steps * p
     qk_p = _pad_rows(qkeys, n_tiles * TILE_T, INVALID_QUERY)
-    kc_pad = _round_up(k * c, 128)
+    if start.shape[1] < n_tiles:
+        start = jnp.pad(start, ((0, 0), (0, n_tiles - start.shape[1]),
+                                (0, 0)))
+    g_off = _group_size(k, c)
+    n_groups = _cdiv(k, g_off)
+    glanes = g_off * c
     w2 = w.reshape(k * c, co).astype(feats.dtype)
-    w2 = jnp.pad(w2, ((0, kc_pad - k * c), (0, 0)))
-    live2 = _live_tiles(q_active, m)[:, None]
+    w2 = jnp.pad(w2, ((0, n_groups * glanes - k * c), (0, 0)))
+    live2 = _live_tiles(q_active, mb)[:, None]
     kern = functools.partial(
-        _conv_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r
+        _conv_kernel, k=k, c=c, window_r=window_r, p=p
     )
     out = pl.pallas_call(
         kern,
-        grid=(b, n_tiles),
+        grid=(b, n_steps),
         in_specs=[
             pl.BlockSpec(live2.shape, lambda bb, i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -357,81 +419,94 @@ def window_conv_apply(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T, k), lambda bb, i: (bb, i, 0),
+            pl.BlockSpec((1, TILE_T * p, k), lambda bb, i: (bb, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((kc_pad, co), lambda bb, i: (0, 0),
+            pl.BlockSpec((n_groups * glanes, co), lambda bb, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_T, co), lambda bb, i: (bb, i, 0),
+        out_specs=pl.BlockSpec((1, TILE_T * p, co), lambda bb, i: (bb, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE_T, co), feats.dtype),
         scratch_shapes=[
-            pltpu.VMEM((TILE_T, kc_pad), feats.dtype),
-            pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
-            pltpu.VMEM((k, window_r, c), feats.dtype),
+            pltpu.VMEM((n_groups, g_off * window_r, TILE_T), feats.dtype),
+            pltpu.VMEM((n_groups, g_off * window_r, glanes), feats.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(live2, pk[..., None], pt, qk_p, start, w2)
-    return out[:, :m]
+    out = out[:, :mb]
+    if mb < m:
+        out = _pad_rows(out, m, 0)
+    return out
 
 
 def _dw_kernel(
     live_ref,  # SMEM i32[B, 1]
     keys_ref,  # [1, Npad, 1] VMEM
     table_ref,  # [1, Npad, C] VMEM
-    qk_ref,  # [1, T, K] VMEM
+    qk_ref,  # [1, P*T, K] VMEM
     start_ref,  # [1, n_tiles, K] SMEM
-    gy_ref,  # [1, T, CO] VMEM (output cotangent tile)
-    dw_ref,  # [KC_pad, CO] f32 VMEM (accumulated across the whole grid)
-    g_scratch,  # [T, KC_pad] VMEM
-    oh_scratch,  # [K, R, T] VMEM
-    s_scratch,  # [K, R, C] VMEM
+    gy_ref,  # [1, P*T, CO] VMEM (output cotangent tiles)
+    dw_ref,  # [Gn*GL, CO] f32 VMEM (accumulated across the whole grid)
+    oh_scratch,  # [Gn, G*R, T] VMEM
+    s_scratch,  # [Gn, G*R, G*C] VMEM
     *,
     k: int,
     c: int,
-    kc_pad: int,
     window_r: int,
+    p: int,
 ):
     """dW += g_tile^T @ gy_tile, fused with the window gather — no [B, M,
     K*C] materialization in HBM and no XLA einsum (the round-1/2 backward
     wrote ~700 MB of gathered rows per level-0 conv just to contract them
-    immediately)."""
-    tile = pl.program_id(1)
-    first = (pl.program_id(0) == 0) & (tile == 0)
+    immediately).  Same multi-tile step + block-diagonal offset grouping as
+    _conv_kernel."""
+    step = pl.program_id(1)
+    g_off = _group_size(k, c)
+    n_groups = _cdiv(k, g_off)
+    glanes = g_off * c
+    first = (pl.program_id(0) == 0) & (step == 0)
 
     @pl.when(first)
     def _zero():
         dw_ref[...] = jnp.zeros_like(dw_ref)
+        s_scratch[...] = jnp.zeros_like(s_scratch)
+        oh_scratch[...] = jnp.zeros_like(oh_scratch)
 
-    @pl.when(tile < live_ref[pl.program_id(0), 0])
-    def _live():
-        if kc_pad > k * c:
-            g_scratch[:, k * c:] = jnp.zeros_like(g_scratch[:, k * c:])
-        qt = qk_ref[0].transpose(1, 0)
-        for kk in range(k):
-            start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
-            win = keys_ref[0, pl.ds(start, window_r), 0]
-            oh_scratch[kk] = (
-                win[:, None] == qt[kk][None, :]
-            ).astype(oh_scratch.dtype)
-            s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
-        gkt = jax.lax.dot_general(
-            oh_scratch[:], s_scratch[:],
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(g_scratch.dtype)
-        for kk in range(k):
-            g_scratch[:, kk * c: (kk + 1) * c] = gkt[kk]
-        dw_ref[...] += jax.lax.dot_general(
-            g_scratch[:], gy_ref[0],
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [KC_pad, CO] f32
+    for pp in range(p):
+        tile = step * p + pp
+
+        @pl.when(tile < live_ref[pl.program_id(0), 0])
+        def _live(pp=pp, tile=tile):
+            qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
+            for kk in range(k):
+                g, j = divmod(kk, g_off)
+                start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
+                win = keys_ref[0, pl.ds(start, window_r), 0]
+                oh_scratch[g, j * window_r:(j + 1) * window_r, :] = (
+                    win[:, None] == qt[kk][None, :]
+                ).astype(oh_scratch.dtype)
+                s_scratch[
+                    g, j * window_r:(j + 1) * window_r, j * c:(j + 1) * c
+                ] = table_ref[0, pl.ds(start, window_r), :]
+            gy_t = gy_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :]
+            for g in range(n_groups):
+                got = jax.lax.dot_general(  # [T, G*C]
+                    oh_scratch[g], s_scratch[g],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(s_scratch.dtype)
+                dw_ref[g * glanes:(g + 1) * glanes, :] += (
+                    jax.lax.dot_general(
+                        got, gy_t,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # [GL, CO] f32
 
 
 def window_dw(
@@ -443,25 +518,35 @@ def window_dw(
     q_active: jax.Array,
     interpret: bool = False,
     window_r: int = WINDOW_R,
+    q_bound: int | None = None,
 ) -> jax.Array:
     """-> dW f32[K, C, CO] = sum over pairs of x[src] (x) gy[dst] for the
     in-window pairs of the plan."""
     b, m, k = qkeys.shape
     c = feats.shape[-1]
     co = gy.shape[-1]
+    p = TILES_PER_STEP
+    qkeys, start, mb = _bounded_queries(qkeys, start, q_bound, p)
+    gy = gy[:, :mb]
     pk, pt = _padded_table(keys, feats)
     npad = pk.shape[1]
-    n_tiles = _cdiv(m, TILE_T)
+    n_steps = _cdiv(mb, TILE_T * p)
+    n_tiles = n_steps * p
     qk_p = _pad_rows(qkeys, n_tiles * TILE_T, INVALID_QUERY)
     gy_p = _pad_rows(gy, n_tiles * TILE_T, 0)
-    kc_pad = _round_up(k * c, 128)
-    live2 = _live_tiles(q_active, m)[:, None]
+    if start.shape[1] < n_tiles:
+        start = jnp.pad(start, ((0, 0), (0, n_tiles - start.shape[1]),
+                                (0, 0)))
+    g_off = _group_size(k, c)
+    n_groups = _cdiv(k, g_off)
+    glanes = g_off * c
+    live2 = _live_tiles(q_active, mb)[:, None]
     kern = functools.partial(
-        _dw_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r
+        _dw_kernel, k=k, c=c, window_r=window_r, p=p
     )
     dw = pl.pallas_call(
         kern,
-        grid=(b, n_tiles),
+        grid=(b, n_steps),
         in_specs=[
             pl.BlockSpec(live2.shape, lambda bb, i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -469,20 +554,20 @@ def window_dw(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T, k), lambda bb, i: (bb, i, 0),
+            pl.BlockSpec((1, TILE_T * p, k), lambda bb, i: (bb, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE_T, co), lambda bb, i: (bb, i, 0),
+            pl.BlockSpec((1, TILE_T * p, co), lambda bb, i: (bb, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((kc_pad, co), lambda bb, i: (0, 0),
+        out_specs=pl.BlockSpec((n_groups * glanes, co),
+                               lambda bb, i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((kc_pad, co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_groups * glanes, co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TILE_T, kc_pad), feats.dtype),
-            pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
-            pltpu.VMEM((k, window_r, c), feats.dtype),
+            pltpu.VMEM((n_groups, g_off * window_r, TILE_T), feats.dtype),
+            pltpu.VMEM((n_groups, g_off * window_r, glanes), feats.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024

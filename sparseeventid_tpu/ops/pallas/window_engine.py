@@ -63,6 +63,12 @@ class WindowPlan:
     # ~stride^d / 2 denser than the child query set, so per-tile match spans
     # approach 2*TILE_T)
     window_r: int = dataclasses.field(default=WINDOW_R, metadata=dict(static=True))
+    # static query-row bound: tiles past it skip the kernel grid entirely
+    # (None = full capacity).  Correct whenever n_active <= q_bound; the
+    # engine surfaces max(n_active - q_bound, 0) via plan_overflow_dropped.
+    q_bound: int | None = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
 
     @property
     def num_offsets(self) -> int:
@@ -110,6 +116,7 @@ def build_submanifold_window_plan(
     kernel_size,
     overflow_cap: int = 2048,
     interpret: bool = False,
+    q_bound: int | None = None,
 ) -> WindowPlan:
     """Plan for a submanifold conv (output sites == input sites)."""
     offs = kernel_offsets(kernel_size, centered=True)
@@ -123,6 +130,7 @@ def build_submanifold_window_plan(
     return WindowPlan(
         qkeys, start, st.n_active, src, dst, kk, valid, dropped,
         offsets=tuple(map(tuple, offs.tolist())), window_r=WINDOW_R,
+        q_bound=q_bound,
     )
 
 
@@ -132,6 +140,8 @@ def build_strided_window_plans(
     stride,
     overflow_cap: int = 2048,
     interpret: bool = False,
+    q_bound: int | None = None,
+    rev_q_bound: int | None = None,
 ) -> Tuple[WindowPlan, WindowPlan]:
     """(forward, reverse) plans for a strided conv (filter == stride).
 
@@ -166,7 +176,7 @@ def build_strided_window_plans(
     fwd = WindowPlan(
         qkeys_f, start_f, skeleton.n_active, src, dst, kk, val, drop,
         offsets=tuple(map(tuple, offs.tolist())),
-        window_r=WINDOW_R_STRIDED,
+        window_r=WINDOW_R_STRIDED, q_bound=q_bound,
     )
 
     # reverse queries: input row -> parent key, one-hot over offset columns
@@ -196,6 +206,7 @@ def build_strided_window_plans(
     rev = WindowPlan(
         qkeys_r, start_r, st.n_active, src_r, dst_r, kk_r, val_r, drop_r,
         offsets=tuple(map(tuple, offs.tolist())), window_r=WINDOW_R,
+        q_bound=rev_q_bound,
     )
     return fwd, rev
 
@@ -263,30 +274,31 @@ def _mirror_perm(offsets) -> np.ndarray:
     return np.array([lookup[tuple(-np.asarray(o))] for o in offs.tolist()])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4))
-def _subm_window_conv(offsets, feats, w, interpret, window_r,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5))
+def _subm_window_conv(offsets, feats, w, interpret, window_r, q_bound,
                       keys, qkeys, start,
                       q_active, ov_src, ov_dst, ov_k, ov_valid):
     out = window_conv_apply(
         keys, feats, qkeys, start, w, q_active, interpret=interpret,
-        window_r=window_r,
+        window_r=window_r, q_bound=q_bound,
     )
     return _apply_overflow_any(
         out, feats, w, ov_src, ov_dst, ov_k, ov_valid, interpret
     )
 
 
-def _subm_fwd(offsets, feats, w, interpret, window_r, keys, qkeys, start,
+def _subm_fwd(offsets, feats, w, interpret, window_r, q_bound,
+              keys, qkeys, start,
               q_active, ov_src, ov_dst, ov_k, ov_valid):
     out = _subm_window_conv(
-        offsets, feats, w, interpret, window_r, keys, qkeys, start,
+        offsets, feats, w, interpret, window_r, q_bound, keys, qkeys, start,
         q_active, ov_src, ov_dst, ov_k, ov_valid,
     )
     return out, (feats, w, keys, qkeys, start, q_active,
                  ov_src, ov_dst, ov_k, ov_valid)
 
 
-def _subm_bwd(offsets, interpret, window_r, res, gy):
+def _subm_bwd(offsets, interpret, window_r, q_bound, res, gy):
     (feats, w, keys, qkeys, start, q_active,
      ov_src, ov_dst, ov_k, ov_valid) = res
     k, c, co = w.shape
@@ -306,7 +318,7 @@ def _subm_bwd(offsets, interpret, window_r, res, gy):
     w_t = jnp.transpose(w, (0, 2, 1))
     dx = window_conv_apply(
         keys, gy, qkeys[:, :, perm], start[:, :, perm], w_t, q_active,
-        interpret=interpret, window_r=window_r,
+        interpret=interpret, window_r=window_r, q_bound=q_bound,
     )
     dx = _apply_overflow_any(
         dx, gy, w_t[perm_np], ov_src, ov_dst, ov_k, ov_valid, interpret
@@ -323,7 +335,7 @@ def _subm_bwd(offsets, interpret, window_r, res, gy):
         ).reshape(k, c, co)
     else:
         dw = window_dw(keys, feats, qkeys, start, gy, q_active,
-                       window_r=window_r)
+                       window_r=window_r, q_bound=q_bound)
     dw = dw + _overflow_dw_any(
         feats, gy, ov_src, ov_dst, ov_k, ov_valid, k, interpret
     )
@@ -343,7 +355,7 @@ def window_submanifold_conv(
     """Drop-in for ops.submanifold_conv on the windowed engine."""
     out = _subm_window_conv(
         plan.offsets, st.feats, w.astype(st.feats.dtype), interpret,
-        plan.window_r,
+        plan.window_r, plan.q_bound,
         st.keys(), plan.qkeys, plan.start, plan.q_active,
         plan.ov_src, plan.ov_dst, plan.ov_k, plan.ov_valid,
     )
@@ -357,24 +369,26 @@ def window_submanifold_conv(
 # strided conv with custom VJP (forward plan + reverse plan)
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5))
-def _strided_window_conv(offsets, feats, w, interpret, f_r, r_r,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5, 6, 7))
+def _strided_window_conv(offsets, feats, w, interpret, f_r, r_r, f_b, r_b,
                          keys_in, keys_out,
                          fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
                          rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val):
     out = window_conv_apply(
-        keys_in, feats, fq, fs, w, f_act, interpret=interpret, window_r=f_r
+        keys_in, feats, fq, fs, w, f_act, interpret=interpret, window_r=f_r,
+        q_bound=f_b,
     )
     return _apply_overflow_any(
         out, feats, w, fo_src, fo_dst, fo_k, fo_val, interpret
     )
 
 
-def _strided_fwd(offsets, feats, w, interpret, f_r, r_r, keys_in, keys_out,
+def _strided_fwd(offsets, feats, w, interpret, f_r, r_r, f_b, r_b,
+                 keys_in, keys_out,
                  fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
                  rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val):
     out = _strided_window_conv(
-        offsets, feats, w, interpret, f_r, r_r, keys_in, keys_out,
+        offsets, feats, w, interpret, f_r, r_r, f_b, r_b, keys_in, keys_out,
         fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
         rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val,
     )
@@ -383,7 +397,7 @@ def _strided_fwd(offsets, feats, w, interpret, f_r, r_r, keys_in, keys_out,
                  rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val)
 
 
-def _strided_bwd(offsets, interpret, f_r, r_r, res, gy):
+def _strided_bwd(offsets, interpret, f_r, r_r, f_b, r_b, res, gy):
     (feats, w, keys_in, keys_out, fq, fs, f_act,
      fo_src, fo_dst, fo_k, fo_val,
      rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val) = res
@@ -393,7 +407,8 @@ def _strided_bwd(offsets, interpret, f_r, r_r, res, gy):
     # dX via the reverse plan: each input row reads its parent's dY through
     # its own offset column.
     dx = window_conv_apply(
-        keys_out, gy, rq, rs, w_t, r_act, interpret=interpret, window_r=r_r
+        keys_out, gy, rq, rs, w_t, r_act, interpret=interpret, window_r=r_r,
+        q_bound=r_b,
     )
     dx = _apply_overflow_any(
         dx, gy, w_t, ro_src, ro_dst, ro_k, ro_val, interpret
@@ -409,7 +424,7 @@ def _strided_bwd(offsets, interpret, f_r, r_r, res, gy):
         ).reshape(k, co, c).transpose(0, 2, 1)
     else:
         dw = window_dw(keys_out, gy, rq, rs, feats, r_act,
-                       window_r=r_r).transpose(0, 2, 1)
+                       window_r=r_r, q_bound=r_b).transpose(0, 2, 1)
     dw = dw + _overflow_dw_any(
         feats, gy, ro_dst, ro_src, ro_k, ro_val, k, interpret
     )
@@ -431,6 +446,7 @@ def window_strided_conv(
     out = _strided_window_conv(
         fwd_plan.offsets, st.feats, w.astype(st.feats.dtype), interpret,
         fwd_plan.window_r, rev_plan.window_r,
+        fwd_plan.q_bound, rev_plan.q_bound,
         st.keys(), skeleton.keys(),
         fwd_plan.qkeys, fwd_plan.start, fwd_plan.q_active,
         fwd_plan.ov_src, fwd_plan.ov_dst, fwd_plan.ov_k, fwd_plan.ov_valid,
