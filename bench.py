@@ -82,6 +82,12 @@ def main():
     host_plans = (
         os.environ.get("BENCH_HOST_PLANS", "1") != "0" and HAVE_NATIVE
     )
+    # Static query bound: occupancy peaks ~20k of the 50k cap at level 0
+    # and shrinks ~0.75x/level vs the 0.5x capacity schedule; frac 0.5 with
+    # growth 1.6 keeps >=23% margin at levels 0-1 and disables the bound
+    # deeper (any excess would surface in overflow_dropped below).
+    qbound_frac = float(os.environ.get("BENCH_QBOUND_FRAC", "0.5"))
+    qbound_growth = float(os.environ.get("BENCH_QBOUND_GROWTH", "1.6"))
     cfg = load_config(
         "dune3d",
         [
@@ -89,6 +95,8 @@ def main():
             "run.precision=bfloat16",
             "run.distributed=false",
             f"framework.remat={'true' if remat else 'false'}",
+            f"encoder.query_bound_frac={qbound_frac}",
+            f"encoder.query_bound_growth={qbound_growth}",
         ],
     )
     import dataclasses
@@ -163,7 +171,8 @@ def main():
 
         def pb(s, h):
             return encoder_plans_from_host(
-                s, h, depth, (5, 5, 5), (3, 3, 3), (2, 2, 2)
+                s, h, depth, (5, 5, 5), (3, 3, 3), (2, 2, 2),
+                q_bound_frac=qbound_frac, q_bound_growth=qbound_growth,
             )
 
     lr = build_lr_schedule(cfg.mode.optimizer.lr_schedule, 100, 25)

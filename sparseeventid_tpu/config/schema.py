@@ -255,6 +255,10 @@ class ConvRepresentation(Repr):
     # past the bound skip the kernel grid; any n_active excess over the
     # bound is surfaced in the overflow/dropped metric (never silent).
     query_bound_frac: float = 1.0
+    # Per-level multiplier on query_bound_frac (clamped at 1): occupancy
+    # shrinks slower (~0.75x/level on track topologies) than the capacity
+    # schedule (~0.5x/level), so deeper levels need a larger fraction.
+    query_bound_growth: float = 1.6
 
 
 @dataclass

@@ -188,6 +188,8 @@ class ConvolutionDownsample(nn.Module):
     out_capacity: int | None = None
     axis_name: str | None = None
     backend: str = "xla"
+    q_bound_frac_in: float = 1.0
+    q_bound_frac_out: float = 1.0
 
     @nn.compact
     def __call__(
@@ -205,7 +207,8 @@ class ConvolutionDownsample(nn.Module):
         else:
             skeleton, plan, ds_dropped = build_downsample_plan(
                 st, self.stride, self.out_capacity, backend=self.backend,
-                q_bound_frac=getattr(self.params, "query_bound_frac", 1.0),
+                q_bound_frac_in=self.q_bound_frac_in,
+                q_bound_frac_out=self.q_bound_frac_out,
             )
             self.sow(
                 "diagnostics", "dropped",
@@ -236,6 +239,8 @@ class PoolingDownsample(nn.Module):
     out_capacity: int | None = None
     axis_name: str | None = None
     backend: str = "xla"  # pooling keeps the XLA gather path (cold)
+    q_bound_frac_in: float = 1.0
+    q_bound_frac_out: float = 1.0
 
     @nn.compact
     def __call__(

@@ -89,6 +89,12 @@ class Encoder(nn.Module):
             return (1, 2, 2)
         return (2,) * self.dimension
 
+    def _qb_frac(self, level: int) -> float:
+        p = self.params
+        f = getattr(p, "query_bound_frac", 1.0)
+        g = getattr(p, "query_bound_growth", 1.6)
+        return min(1.0, f * g**level)
+
     def _sow_overflow(self, plan):
         # Surface window-plan overflow drops as a train metric (never let
         # the exact-sidecar cap corrupt accuracy silently).
@@ -122,7 +128,7 @@ class Encoder(nn.Module):
         else:
             rb = build_series_plan(
                 st, self._kernel(5, 0), backend=self.backend,
-                q_bound_frac=p.query_bound_frac,
+                q_bound_frac=self._qb_frac(0),
             )
         self._sow_overflow(rb)
         w0 = self.param(
@@ -152,7 +158,7 @@ class Encoder(nn.Module):
             else:
                 rb = build_series_plan(
                     st, self._kernel(p.filter_size, i), backend=self.backend,
-                    q_bound_frac=p.query_bound_frac,
+                    q_bound_frac=self._qb_frac(i),
                 )
             self._sow_overflow(rb)
             st = series_cls(
@@ -172,6 +178,8 @@ class Encoder(nn.Module):
                 out_capacity=caps[i + 1],
                 axis_name=self.axis_name,
                 backend=self.backend,
+                q_bound_frac_in=self._qb_frac(i),
+                q_bound_frac_out=self._qb_frac(i + 1),
                 name=f"down_{i}",
             )(st, train, precomputed)
             filters = next_filters
@@ -181,7 +189,7 @@ class Encoder(nn.Module):
         else:
             rb = build_series_plan(
                 st, self._kernel(p.filter_size, p.depth), backend=self.backend,
-                q_bound_frac=p.query_bound_frac,
+                q_bound_frac=self._qb_frac(p.depth),
             )
         self._sow_overflow(rb)
         st = series_cls(

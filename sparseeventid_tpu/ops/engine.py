@@ -96,7 +96,8 @@ def build_downsample_plan(
     stride: Sequence[int],
     out_capacity: int | None = None,
     backend: str = XLA,
-    q_bound_frac: float = 1.0,
+    q_bound_frac_in: float = 1.0,
+    q_bound_frac_out: float = 1.0,
 ) -> Tuple[SparseTensor, object, jax.Array]:
     """Returns (skeleton, plan, dropped) — ``dropped`` counts unique output
     sites lost to the static capacity per event (never silent)."""
@@ -108,8 +109,8 @@ def build_downsample_plan(
         plans = build_strided_window_plans(
             st, skeleton, stride, overflow_cap=_overflow_cap(st.capacity, k),
             interpret=_interpret(),
-            q_bound=query_bound(skeleton.capacity, q_bound_frac),
-            rev_q_bound=query_bound(st.capacity, q_bound_frac),
+            q_bound=query_bound(skeleton.capacity, q_bound_frac_out),
+            rev_q_bound=query_bound(st.capacity, q_bound_frac_in),
         )
         return skeleton, plans, dropped
     return skeleton, build_downsample_rulebook(st, skeleton, stride), dropped

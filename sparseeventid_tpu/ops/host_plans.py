@@ -115,6 +115,7 @@ def encoder_plans_from_host(
     series_kernel,
     stride,
     q_bound_frac: float = 1.0,
+    q_bound_growth: float = 1.6,
 ) -> EncoderPlans:
     """Assemble EncoderPlans from the host plan dict (jit-traceable).
 
@@ -122,6 +123,9 @@ def encoder_plans_from_host(
     plans were computed for (build_sparse_tensor's ascending-key sort matches
     the host's — keys are unique, so the orders agree row for row).
     """
+    def frac(l):
+        return min(1.0, q_bound_frac * q_bound_growth**l)
+
     i_offs = kernel_offsets(initial_kernel, centered=True)
     s_offs = kernel_offsets(series_kernel, centered=True)
     d_offs = kernel_offsets(stride, centered=False)
@@ -145,14 +149,14 @@ def encoder_plans_from_host(
     initial = _plan_from_host(
         host, "initial",
         compute_query_keys(st0, i_offs), st0.n_active, i_offs,
-        q_bound_frac=q_bound_frac,
+        q_bound_frac=frac(0),
     )
     series = tuple(
         _plan_from_host(
             host, f"lvl{l}/series",
             compute_query_keys(levels[l], s_offs),
             levels[l].n_active, s_offs,
-            q_bound_frac=q_bound_frac,
+            q_bound_frac=frac(l),
         )
         for l in range(depth + 1)
     )
@@ -163,13 +167,13 @@ def encoder_plans_from_host(
                 _strided_qkeys(levels[l + 1], levels[l], stride, d_offs),
                 levels[l + 1].n_active, d_offs,
                 window_r=WINDOW_R_STRIDED,
-                q_bound_frac=q_bound_frac,
+                q_bound_frac=frac(l + 1),
             ),
             _plan_from_host(
                 host, f"lvl{l}/down_r",
                 _reverse_qkeys(levels[l], levels[l + 1], stride, kd),
                 levels[l].n_active, d_offs,
-                q_bound_frac=q_bound_frac,
+                q_bound_frac=frac(l),
             ),
         )
         for l in range(depth)

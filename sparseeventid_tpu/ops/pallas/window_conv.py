@@ -67,8 +67,13 @@ def _group_size(k: int, c: int) -> int:
     block-diagonal dot so the 128-lane output is full at C<128.  The
     per-offset batched dot padded C up to 128 lanes (4x waste at C=32) and
     needed a [T, K*C] scratch round-trip; the grouped form writes the
-    second-GEMM operand directly."""
-    return max(1, min(k, 128 // max(c, 1)))
+    second-GEMM operand directly.  Grouping only pays when the staged
+    window lands at friendly lane offsets: C must divide the 32-lane
+    store granule or the block-diagonal stores turn into lane-rotated
+    masked writes (measured regression at C=1, the initial 5^d conv)."""
+    if c < 32 or 128 % c != 0:
+        return 1
+    return max(1, min(k, 128 // c))
 
 # Sentinel for invalid queries: never equals a real key (>= 0) nor the
 # INVALID_KEY padding of the table.

@@ -268,11 +268,12 @@ class Trainer:
         depth = self.cfg.encoder.depth
 
         frac = getattr(self.cfg.encoder, "query_bound_frac", 1.0)
+        growth = getattr(self.cfg.encoder, "query_bound_growth", 1.6)
 
         def builder(st, host):
             return encoder_plans_from_host(
                 st, host, depth, (5, 5, 5), (3, 3, 3), (2, 2, 2),
-                q_bound_frac=frac,
+                q_bound_frac=frac, q_bound_growth=growth,
             )
 
         return builder
