@@ -22,7 +22,9 @@ int main() {
   const int64_t grid[3] = {256, 128, 320};
   std::vector<long> caps = {CAP, CAP / 2, CAP / 4, CAP / 8};
   const long init_k[3] = {5, 5, 5};
-  const long ser_k[3] = {3, 3, 3};
+  // per-level series kernels ([depth+1][3])
+  std::vector<long> ser_k;
+  for (long l = 0; l <= DEPTH; ++l) ser_k.insert(ser_k.end(), {3, 3, 3});
   const long stride[3] = {2, 2, 2};
   std::vector<PlanShape> series_ps(DEPTH + 1), down_ps(DEPTH);
   for (long l = 0; l <= DEPTH; ++l) series_ps[l] = {176, 512};
@@ -63,7 +65,7 @@ int main() {
       long i = next.fetch_add(1);
       if (i >= B) return;
       build_event_plans(coords.data() + i * CAP * 3, CAP, grid, caps.data(),
-                        DEPTH, init_k, ser_k, stride, series_ps.data(),
+                        DEPTH, init_k, ser_k.data(), stride, series_ps.data(),
                         initial_ps, down_ps.data(), 176, &evs[size_t(i)]);
       long acc = 0;
       for (auto& lv : evs[size_t(i)].levels) acc += long(lv.keys.size());

@@ -329,14 +329,41 @@ PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
   const long cap0 = long(PyArray_DIM(coords, 1));
 
   int64_t grid[3];
-  long init_k[3], ser_k[3], stride[3];
+  long init_k[3], stride[3];
   for (int d = 0; d < 3; ++d) {
     grid[d] = PyLong_AsLongLong(PySequence_GetItem(grid_obj, d));
     init_k[d] = PyLong_AsLong(PySequence_GetItem(init_k_obj, d));
-    ser_k[d] = PyLong_AsLong(PySequence_GetItem(ser_k_obj, d));
     stride[d] = PyLong_AsLong(PySequence_GetItem(stride_obj, d));
   }
   const long depth = long(PySequence_Size(caps_obj)) - 1;
+  // series kernel: a flat (k0,k1,k2) broadcast to every level, or a
+  // per-level sequence of depth+1 kernels (2D multiplane plane_merge)
+  std::vector<long> ser_k((depth + 1) * 3);
+  {
+    PyObject* first = PySequence_GetItem(ser_k_obj, 0);
+    const bool per_level = PySequence_Check(first) && !PyLong_Check(first);
+    Py_XDECREF(first);
+    if (per_level) {
+      if (PySequence_Size(ser_k_obj) != depth + 1) {
+        Py_DECREF(coords);
+        PyErr_SetString(PyExc_ValueError,
+                        "per-level series_kernel needs depth+1 entries");
+        return nullptr;
+      }
+      for (long l = 0; l <= depth; ++l) {
+        PyObject* kl = PySequence_GetItem(ser_k_obj, l);
+        for (int d = 0; d < 3; ++d)
+          ser_k[size_t(l * 3 + d)] =
+              PyLong_AsLong(PySequence_GetItem(kl, d));
+        Py_DECREF(kl);
+      }
+    } else {
+      for (int d = 0; d < 3; ++d) {
+        long v = PyLong_AsLong(PySequence_GetItem(ser_k_obj, d));
+        for (long l = 0; l <= depth; ++l) ser_k[size_t(l * 3 + d)] = v;
+      }
+    }
+  }
   std::vector<long> caps(depth + 1);
   for (long l = 0; l <= depth; ++l)
     caps[size_t(l)] = PyLong_AsLong(PySequence_GetItem(caps_obj, l));
@@ -367,8 +394,9 @@ PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
       long i = next.fetch_add(1);
       if (i >= b) return;
       build_event_plans(cdata + i * cap0 * 3, cap0, grid, caps.data(), depth,
-                        init_k, ser_k, stride, series_ps.data(), initial_ps,
-                        down_ps.data(), window_r, &evs[size_t(i)]);
+                        init_k, ser_k.data(), stride, series_ps.data(),
+                        initial_ps, down_ps.data(), window_r,
+                        &evs[size_t(i)]);
     }
   };
   if (n_threads <= 1) {
@@ -382,16 +410,17 @@ PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
 
   PyObject* dict = PyDict_New();
   char buf[96];
-  std::vector<long> s_offs, i_offs, d_offs;
-  enumerate_offsets(ser_k, true, &s_offs);
+  std::vector<long> i_offs, d_offs;
   enumerate_offsets(init_k, true, &i_offs);
   enumerate_offsets(stride, false, &d_offs);
-  const long ks = long(s_offs.size() / 3);
   const long ki = long(i_offs.size() / 3), kd = long(d_offs.size() / 3);
 
   for (long l = 0; l <= depth; ++l) {
     const long cap = caps[size_t(l)];
     const long n_tiles = (cap + kTileT - 1) / kTileT;
+    std::vector<long> s_offs;
+    enumerate_offsets(ser_k.data() + l * 3, true, &s_offs);
+    const long ks = long(s_offs.size() / 3);
     // level coords + n_active (+ down_dropped)
     npy_intp cshape[3] = {b, cap, 3};
     PyArrayObject* lc = (PyArrayObject*)PyArray_SimpleNew(3, cshape, NPY_INT32);

@@ -199,9 +199,12 @@ struct EventPlans {
   std::vector<PlanResult> down_r;   // depth (queries=parent rows into child)
 };
 
+// series_kernels: [depth+1][3] per-level kernels (2D multiplane models
+// switch from plane-shared [1,k,k] to cross-plane [3,k,k] kernels at
+// plane_merge_depth — reference sparseresnet.py:194-334).
 void build_event_plans(const int32_t* coords0, long cap0,
                        const int64_t* grid_in, const long* caps, long depth,
-                       const long* initial_kernel, const long* series_kernel,
+                       const long* initial_kernel, const long* series_kernels,
                        const long* stride, const PlanShape* series_ps,
                        const PlanShape& initial_ps, const PlanShape* down_ps,
                        long window_r_rev, EventPlans* ev) {
@@ -220,12 +223,10 @@ void build_event_plans(const int32_t* coords0, long cap0,
                                      grids.data() + (l - 1) * 3,
                                      grids.data() + l * 3, caps[l]);
 
-  std::vector<long> s_offs, i_offs, d_offs;
-  enumerate_offsets(series_kernel, true, &s_offs);
+  std::vector<long> i_offs, d_offs;
   enumerate_offsets(initial_kernel, true, &i_offs);
   enumerate_offsets(stride, false, &d_offs);
-  const long ks = long(s_offs.size() / 3), ki = long(i_offs.size() / 3),
-             kd = long(d_offs.size() / 3);
+  const long ki = long(i_offs.size() / 3), kd = long(d_offs.size() / 3);
 
   ev->series.resize(depth + 1);
   ev->down_f.resize(depth);
@@ -235,6 +236,9 @@ void build_event_plans(const int32_t* coords0, long cap0,
     const long cap = caps[l];
     const long npad = round_up(cap, kAnchorA) + kPlanR;
     const long n_tiles = (cap + kTileT - 1) / kTileT;
+    std::vector<long> s_offs;
+    enumerate_offsets(series_kernels + l * 3, true, &s_offs);
+    const long ks = long(s_offs.size() / 3);
     ev->series[l].start.assign(size_t(n_tiles * ks), 0);
     build_plan_one(lv, grids.data() + l * 3, lv.coords.data(),
                    long(lv.keys.size()), cap, s_offs.data(), ks, one, npad,

@@ -55,7 +55,7 @@ def build_window_plans(
     grid: Sequence[int],
     caps: Sequence[int],
     initial_kernel: Sequence[int],
-    series_kernel: Sequence[int],
+    series_kernel,  # (k0,k1,k2) or per-level [(k0,k1,k2)] * (depth+1)
     stride: Sequence[int],
     window_r: int,
     ov_caps: Sequence[int],
@@ -82,7 +82,11 @@ def build_window_plans(
         tuple(int(g) for g in grid),
         [int(c) for c in caps],
         tuple(int(k) for k in initial_kernel),
-        tuple(int(k) for k in series_kernel),
+        (
+            tuple(tuple(int(k) for k in kl) for kl in series_kernel)
+            if hasattr(series_kernel[0], "__len__")
+            else tuple(int(k) for k in series_kernel)
+        ),
         tuple(int(s) for s in stride),
         int(window_r),
         [int(c) for c in ov_caps],

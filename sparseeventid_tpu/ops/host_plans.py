@@ -127,7 +127,12 @@ def encoder_plans_from_host(
         return min(1.0, q_bound_frac * q_bound_growth**l)
 
     i_offs = kernel_offsets(initial_kernel, centered=True)
-    s_offs = kernel_offsets(series_kernel, centered=True)
+    # series_kernel: one kernel broadcast to all levels, or per-level
+    # kernels (2D multiplane plane_merge switches [1,k,k] -> [3,k,k])
+    if hasattr(series_kernel[0], "__len__"):
+        s_offs_l = [kernel_offsets(kl, centered=True) for kl in series_kernel]
+    else:
+        s_offs_l = [kernel_offsets(series_kernel, centered=True)] * (depth + 1)
     d_offs = kernel_offsets(stride, centered=False)
     kd = len(d_offs)
 
@@ -154,8 +159,8 @@ def encoder_plans_from_host(
     series = tuple(
         _plan_from_host(
             host, f"lvl{l}/series",
-            compute_query_keys(levels[l], s_offs),
-            levels[l].n_active, s_offs,
+            compute_query_keys(levels[l], s_offs_l[l]),
+            levels[l].n_active, s_offs_l[l],
             q_bound_frac=frac(l),
         )
         for l in range(depth + 1)

@@ -151,7 +151,7 @@ class Trainer:
         if split not in self.loaders:
             transform = None
             if self._plans_enabled and self.cfg.name in (
-                "supervised_eventID", "unsupervised_eventID"
+                "supervised_eventID", "unsupervised_eventID", "yolo"
             ):
                 # build the window plans in the prefetch thread so the C++
                 # workers overlap the device step (larcv3 prefetch parity)
@@ -222,27 +222,57 @@ class Trainer:
             and self.input_mode == "sparse"
             and cfg.framework.sparse_backend == "window"
             and isinstance(cfg.encoder, ConvRepresentation)
-            and cfg.data.dimension == 3
+            and cfg.data.dimension in (2, 3)
         )
+
+    def _plan_kernels(self):
+        """(initial_kernel, per-level series kernels, stride) — mirrors
+        Encoder._kernel/_stride exactly, including the 2D multiplane
+        plane-merge topology ([1,k,k] -> [3,k,k] from plane_merge_depth)."""
+        cfg = self.cfg
+        depth = cfg.encoder.depth
+        if cfg.data.dimension == 2:
+            pm = getattr(cfg.encoder, "plane_merge_depth", -1)
+
+            def kern(k, level):
+                if pm >= 0 and level >= pm:
+                    return (3, k, k)
+                return (1, k, k)
+
+            ik = kern(5, 0)
+            sks = tuple(
+                kern(cfg.encoder.filter_size, l) for l in range(depth + 1)
+            )
+            stride = (1, 2, 2)
+        else:
+            ik = (5, 5, 5)
+            sks = tuple(
+                (cfg.encoder.filter_size,) * 3 for _ in range(depth + 1)
+            )
+            stride = (2, 2, 2)
+        return ik, sks, stride
 
     def _plan_geometry(self):
         from ..ops import engine as _eng
         from ..ops.pallas.window_conv import WINDOW_R, WINDOW_R_STRIDED
 
-        cfg = self.cfg
         caps = self._capacities()
-        ik, sk, stride = (5, 5, 5), (3, 3, 3), (2, 2, 2)
-        k_i = 125
+        ik, sks, stride = self._plan_kernels()
+        k_i = int(np.prod(ik))
+        k_d = int(np.prod(stride))
         return dict(
             grid=tuple(int(g) for g in self.image_shape),
             caps=list(caps),
             initial_kernel=ik,
-            series_kernel=sk,
+            series_kernel=sks,
             stride=stride,
             window_r=WINDOW_R,
-            ov_caps=[_eng._overflow_cap(c, 27) for c in caps],
+            ov_caps=[
+                _eng._overflow_cap(c, int(np.prod(sk)))
+                for c, sk in zip(caps, sks)
+            ],
             ov_cap_initial=_eng._overflow_cap(caps[0], k_i),
-            ov_caps_down=[_eng._overflow_cap(c, 8) for c in caps[:-1]],
+            ov_caps_down=[_eng._overflow_cap(c, k_d) for c in caps[:-1]],
             window_r_down=WINDOW_R_STRIDED,
         )
 
@@ -269,10 +299,11 @@ class Trainer:
 
         frac = getattr(self.cfg.encoder, "query_bound_frac", 1.0)
         growth = getattr(self.cfg.encoder, "query_bound_growth", 1.6)
+        ik, sks, stride = self._plan_kernels()
 
         def builder(st, host):
             return encoder_plans_from_host(
-                st, host, depth, (5, 5, 5), (3, 3, 3), (2, 2, 2),
+                st, host, depth, ik, sks, stride,
                 q_bound_frac=frac, q_bound_growth=growth,
             )
 
@@ -515,6 +546,7 @@ class Trainer:
             remat=cfg.framework.remat,
         )
         model = VertexModel(**kwargs, axis_name=self.axis_name)
+        pb = self._plans_builder()
 
         def prepare(batch):
             if "vertex" not in batch:
@@ -526,24 +558,32 @@ class Trainer:
             st = self._image_to_input(batch["image"])
             vertex = jnp.asarray(batch["vertex"], jnp.float32)
             event_label = jnp.asarray(batch["labelneutID"], jnp.int32)
-            return self._shard((st, vertex, event_label))
+            host = self._host_plans(batch)
+            return self._shard((st, vertex, event_label, host))
 
-        st0, v0, e0 = prepare(self._example_batch())
+        st0, v0, e0, host0 = prepare(self._example_batch())
         init_model = VertexModel(**kwargs) if self.axis_name else model
-        init = jax.jit(init_model.init, static_argnums=(2,))
-        variables = init(jax.random.PRNGKey(cfg.run.seed), st0, True)
+
+        def init_fn(rng, st, host):
+            extra = (pb(st, host),) if (pb and host is not None) else ()
+            return init_model.init(rng, st, True, *extra)
+
+        variables = jax.jit(init_fn)(
+            jax.random.PRNGKey(cfg.run.seed), st0, host0
+        )
         state = self._finish_state(variables, optimizer)
 
         train_step = make_vertex_train_step(
             model, optimizer, anchor_grid, full_grid, lr_schedule,
-            axis_name=self.axis_name,
+            axis_name=self.axis_name, plans_builder=pb,
         )
         eval_step = make_vertex_eval_step(
-            model, anchor_grid, full_grid, axis_name=self.axis_name
+            model, anchor_grid, full_grid, axis_name=self.axis_name,
+            plans_builder=pb,
         )
         if self.mesh is not None:
-            train_step = make_dp_train_step(train_step, self.mesh, n_batch_args=3)
-            eval_step = make_dp_eval_step(eval_step, self.mesh, n_batch_args=3)
+            train_step = make_dp_train_step(train_step, self.mesh, n_batch_args=4)
+            eval_step = make_dp_eval_step(eval_step, self.mesh, n_batch_args=4)
         else:
             train_step = jax.jit(train_step)
             eval_step = jax.jit(eval_step)

@@ -55,12 +55,12 @@ class VertexModel(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, st: SparseTensor, train: bool = True):
+    def __call__(self, st: SparseTensor, train: bool = True, plans=None):
         encoded = Encoder(
             self.encoder_cfg, self.dimension, capacities=self.capacities,
             axis_name=self.axis_name, remat=self.remat, backend=self.backend,
             name="encoder",
-        )(st, train)
+        )(st, train, plans)
         dense = to_dense(encoded)  # [B, x, y, z, C] — coarse grid, small
         return VertexHead(self.n_event_classes, name="head")(dense, train)
 
@@ -170,10 +170,20 @@ def make_vertex_train_step(
     full_grid: Tuple[int, int, int],
     lr_schedule: Callable | None = None,
     axis_name: str | None = None,
+    plans_builder=None,
 ):
-    def loss_fn(params, batch_stats, st, vertex, event_label, rng):
+    """step(state, st, vertex, event_label, host_plans, rng).  When
+    ``plans_builder`` is given and host_plans is a dict of host-built plan
+    arrays (io/_hostio.cpp), the encoder consumes precomputed window plans
+    — no plan construction on device (same contract as the supervised
+    task)."""
+
+    def loss_fn(params, batch_stats, st, vertex, event_label, host, rng):
+        extra = ()
+        if plans_builder is not None and host is not None:
+            extra = (plans_builder(st, host),)
         (anchor_pred, event_logits), mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats}, st, True,
+            {"params": params, "batch_stats": batch_stats}, st, True, *extra,
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
         obj_t, off_t, cell = build_vertex_labels(vertex, anchor_grid, full_grid)
@@ -182,11 +192,12 @@ def make_vertex_train_step(
         )
         return loss, (anchor_pred, mutated["batch_stats"], parts)
 
-    def step(state: TrainState, st, vertex, event_label, rng):
+    def step(state: TrainState, st, vertex, event_label, host, rng):
         rng = jax.random.fold_in(rng, state.step)
         (loss, (anchor_pred, new_stats, parts)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, st, vertex, event_label, rng)
+        )(state.params, state.batch_stats, st, vertex, event_label, host,
+          rng)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
@@ -207,12 +218,18 @@ def make_vertex_eval_step(
     anchor_grid: Tuple[int, int, int],
     full_grid: Tuple[int, int, int],
     axis_name: str | None = None,
+    plans_builder=None,
 ):
-    """eval(state, st, vertex, event_label) -> metrics (validation_step
-    parity, vertex_finding.py:244-291 resolution metrics)."""
+    """eval(state, st, vertex, event_label, host_plans) -> metrics
+    (validation_step parity, vertex_finding.py:244-291 resolution
+    metrics)."""
 
-    def step(state: TrainState, st, vertex, event_label):
-        anchor_pred, event_logits = model.apply(state.variables(), st, False)
+    def step(state: TrainState, st, vertex, event_label, host):
+        extra = ()
+        if plans_builder is not None and host is not None:
+            extra = (plans_builder(st, host),)
+        anchor_pred, event_logits = model.apply(
+            state.variables(), st, False, *extra)
         obj_t, off_t, cell = build_vertex_labels(vertex, anchor_grid, full_grid)
         loss, parts = vertex_loss(
             anchor_pred, event_logits, obj_t, off_t, cell, event_label

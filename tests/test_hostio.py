@@ -92,3 +92,51 @@ def test_native_hdf5_reads_match_h5py(tmp_path):
     finally:
         LarcvDataset._native_read = orig
     assert (b_native["image"] == b_py["image"]).all()
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native extension not built")
+def test_window_plans_per_level_kernels():
+    """The native plan builder accepts per-level series kernels (2D
+    multiplane plane-merge, sparseresnet.py:194-334): a broadcast single
+    kernel must equal the per-level form with identical entries, and mixed
+    [1,3,3]/[3,3,3] kernels must change the level-1 plan's offset count."""
+    from sparseeventid_tpu.io.hostio import build_window_plans
+
+    rng = np.random.default_rng(0)
+    grid, cap, depth = (3, 64, 64), 512, 1
+    coords = np.full((2, cap, 3), -1, np.int32)
+    for b in range(2):
+        n = 300
+        c = np.stack(
+            [
+                rng.integers(0, 3, n),
+                rng.integers(0, 64, n),
+                rng.integers(0, 64, n),
+            ],
+            axis=-1,
+        ).astype(np.int32)
+        c = np.unique(c, axis=0)
+        coords[b, : len(c)] = c
+    caps = [cap, cap // 2]
+    kw = dict(
+        initial_kernel=(1, 5, 5), stride=(1, 2, 2), window_r=176,
+        ov_caps=[256] * (depth + 1), ov_cap_initial=256,
+        ov_caps_down=[256] * depth, window_r_down=320,
+    )
+    a = build_window_plans(
+        coords, grid, caps, series_kernel=(1, 3, 3), **kw
+    )
+    b = build_window_plans(
+        coords, grid, caps, series_kernel=((1, 3, 3), (1, 3, 3)), **kw
+    )
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    assert a["lvl0/series/start"].shape[-1] == 9  # [1,3,3] -> 9 offsets
+
+    m = build_window_plans(
+        coords, grid, caps, series_kernel=((1, 3, 3), (3, 3, 3)), **kw
+    )
+    assert m["lvl1/series/start"].shape[-1] == 27  # cross-plane [3,3,3]
+    np.testing.assert_array_equal(
+        m["lvl0/series/start"], a["lvl0/series/start"]
+    )

@@ -126,7 +126,7 @@ def test_vertex_train_step_runs():
         np.random.default_rng(0).uniform(0, 16, (4, 3)), jnp.float32
     )
     evt = jnp.zeros(4, jnp.int32)
-    state, m = step(state, st, vert, evt, jax.random.PRNGKey(1))
+    state, m = step(state, st, vert, evt, None, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss/loss"]))
     assert "vertex/frac_10cm" in m
 
