@@ -71,9 +71,27 @@ def _group_size(k: int, c: int) -> int:
     window lands at friendly lane offsets: C must divide the 32-lane
     store granule or the block-diagonal stores turn into lane-rotated
     masked writes (measured regression at C=1, the initial 5^d conv)."""
+    import os
+
+    if os.environ.get("SEID_NO_GROUP") == "1":  # perf-bisect escape hatch
+        return 1
     if c < 32 or 128 % c != 0:
         return 1
     return max(1, min(k, 128 // c))
+
+def _tiles_per_step(k: int) -> int:
+    """Query tiles per grid step.  Multi-tile steps amortize the per-step
+    fixed cost, but the unrolled body scales with K*P: at K=125 (the 5^3
+    initial conv) P=4 measured 50% SLOWER than P=1 (107.6 vs 71.3 ms
+    fwd+bwd at dune3d level-0), while every K<=27 kernel was equal or
+    faster.  Env overrides for perf bisects: SEID_P forces a value."""
+    import os
+
+    env = os.environ.get("SEID_P")
+    if env:
+        return int(env)
+    return 1 if k > 32 else TILES_PER_STEP
+
 
 # Sentinel for invalid queries: never equals a real key (>= 0) nor the
 # INVALID_KEY padding of the table.
@@ -267,19 +285,26 @@ def _conv_kernel(
     table_ref,  # [1, Npad, C] VMEM
     qk_ref,  # [1, P*T, K] VMEM
     start_ref,  # [1, n_tiles, K] SMEM (full)
-    w_ref,  # [G_total*GL, CO] VMEM
+    w_ref,  # [KC_pad or Gn*GL, CO] VMEM
     out_ref,  # [1, P*T, CO] VMEM
-    oh_scratch,  # [Gn, G*R, T] VMEM (stacked match one-hots)
-    s_scratch,  # [Gn, G*R, G*C] VMEM (block-diagonal staged windows)
-    *,
+    *scratch,  # G=1: (g [T, KC_pad], oh [K, R, T], s [K, R, C])
+    #            G>1: (oh [Gn, G*R, T], s [Gn, G*R, G*C])
     k: int,
     c: int,
+    kc_pad: int,
     window_r: int,
     p: int,
 ):
-    """P query tiles per step; offsets packed G=128//C per block-diagonal
-    dot.  Group g stages offset kk=g*G+j's window at rows [j*R, (j+1)*R) and
-    lanes [j*C, (j+1)*C): off-diagonal blocks (and the tail group's unused
+    """P query tiles per step.
+
+    G=1 (default): ONE batched-over-K dot [K,R,T]x[K,R,C] -> [K,T,C], a
+    [T, K*C] scratch round-trip, then a single big weight GEMM — the MXU
+    stays on two large ops per tile (measured fastest end-to-end; a
+    per-offset loop of small dots regressed the full step by ~25%).
+
+    G>1: offsets packed G=128//C per block-diagonal dot.  Group g stages
+    offset kk=g*G+j's window at rows [j*R, (j+1)*R) and lanes
+    [j*C, (j+1)*C): off-diagonal blocks (and the tail group's unused
     slots) are zeroed ONCE at the first grid step and never written again,
     so each grouped dot yields [T, G*C] — a direct lane-slice of the
     implicit [T, K*C] gathered matrix, consumed by the weight GEMM without
@@ -288,11 +313,15 @@ def _conv_kernel(
     g_off = _group_size(k, c)
     n_groups = _cdiv(k, g_off)
     glanes = g_off * c
+    if g_off == 1:
+        g_scratch, oh_scratch, s_scratch = scratch
+    else:
+        oh_scratch, s_scratch = scratch
 
-    @pl.when((pl.program_id(0) == 0) & (step == 0))
-    def _init():
-        s_scratch[...] = jnp.zeros_like(s_scratch)
-        oh_scratch[...] = jnp.zeros_like(oh_scratch)
+        @pl.when((pl.program_id(0) == 0) & (step == 0))
+        def _init():
+            s_scratch[...] = jnp.zeros_like(s_scratch)
+            oh_scratch[...] = jnp.zeros_like(oh_scratch)
 
     for pp in range(p):
         tile = step * p + pp
@@ -306,6 +335,35 @@ def _conv_kernel(
         @pl.when(tile < live_ref[pl.program_id(0), 0])
         def _live(pp=pp, tile=tile):
             qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
+            if g_off == 1:
+                if kc_pad > k * c:
+                    g_scratch[:, k * c:] = jnp.zeros_like(
+                        g_scratch[:, k * c:]
+                    )
+                for kk in range(k):
+                    start = pl.multiple_of(
+                        start_ref[0, tile, kk], START_ALIGN
+                    )
+                    win = keys_ref[0, pl.ds(start, window_r), 0]
+                    oh_scratch[kk] = (
+                        win[:, None] == qt[kk][None, :]
+                    ).astype(oh_scratch.dtype)  # [R, T]
+                    s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
+                gkt = jax.lax.dot_general(  # [K, T, C]
+                    oh_scratch[:], s_scratch[:],
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(g_scratch.dtype)
+                for kk in range(k):  # flat layout for the single big GEMM
+                    g_scratch[:, kk * c: (kk + 1) * c] = gkt[kk]
+                out_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :] = (
+                    jax.lax.dot_general(
+                        g_scratch[:], w_ref[:],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(out_ref.dtype)
+                )
+                return
             for kk in range(k):
                 g, j = divmod(kk, g_off)
                 start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
@@ -395,7 +453,7 @@ def window_conv_apply(
     b, m, k = qkeys.shape
     c = feats.shape[-1]
     co = w.shape[-1]
-    p = TILES_PER_STEP
+    p = _tiles_per_step(k)
     qkeys, start, mb = _bounded_queries(qkeys, start, q_bound, p)
     pk, pt = _padded_table(keys, feats)
     npad = pk.shape[1]
@@ -408,12 +466,24 @@ def window_conv_apply(
     g_off = _group_size(k, c)
     n_groups = _cdiv(k, g_off)
     glanes = g_off * c
+    kc_pad = _round_up(k * c, 128) if g_off == 1 else n_groups * glanes
     w2 = w.reshape(k * c, co).astype(feats.dtype)
-    w2 = jnp.pad(w2, ((0, n_groups * glanes - k * c), (0, 0)))
+    w2 = jnp.pad(w2, ((0, kc_pad - k * c), (0, 0)))
     live2 = _live_tiles(q_active, mb)[:, None]
     kern = functools.partial(
-        _conv_kernel, k=k, c=c, window_r=window_r, p=p
+        _conv_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p
     )
+    if g_off == 1:
+        scratch_shapes = [
+            pltpu.VMEM((TILE_T, kc_pad), feats.dtype),
+            pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
+            pltpu.VMEM((k, window_r, c), feats.dtype),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((n_groups, g_off * window_r, TILE_T), feats.dtype),
+            pltpu.VMEM((n_groups, g_off * window_r, glanes), feats.dtype),
+        ]
     out = pl.pallas_call(
         kern,
         grid=(b, n_steps),
@@ -428,16 +498,13 @@ def window_conv_apply(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_groups * glanes, co), lambda bb, i: (0, 0),
+            pl.BlockSpec((kc_pad, co), lambda bb, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, TILE_T * p, co), lambda bb, i: (bb, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE_T, co), feats.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((n_groups, g_off * window_r, TILE_T), feats.dtype),
-            pltpu.VMEM((n_groups, g_off * window_r, glanes), feats.dtype),
-        ],
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -456,31 +523,39 @@ def _dw_kernel(
     qk_ref,  # [1, P*T, K] VMEM
     start_ref,  # [1, n_tiles, K] SMEM
     gy_ref,  # [1, P*T, CO] VMEM (output cotangent tiles)
-    dw_ref,  # [Gn*GL, CO] f32 VMEM (accumulated across the whole grid)
-    oh_scratch,  # [Gn, G*R, T] VMEM
-    s_scratch,  # [Gn, G*R, G*C] VMEM
-    *,
+    dw_ref,  # [KC_pad or Gn*GL, CO] f32 VMEM (accumulated over the grid)
+    *scratch,  # G=1: (g [T, KC_pad], oh [K, R, T], s [K, R, C])
+    #            G>1: (oh [Gn, G*R, T], s [Gn, G*R, G*C])
     k: int,
     c: int,
+    kc_pad: int,
     window_r: int,
     p: int,
 ):
     """dW += g_tile^T @ gy_tile, fused with the window gather — no [B, M,
     K*C] materialization in HBM and no XLA einsum (the round-1/2 backward
     wrote ~700 MB of gathered rows per level-0 conv just to contract them
-    immediately).  Same multi-tile step + block-diagonal offset grouping as
-    _conv_kernel."""
+    immediately).  Same G=1 batched-K / G>1 block-diagonal split and
+    multi-tile step as _conv_kernel."""
     step = pl.program_id(1)
     g_off = _group_size(k, c)
     n_groups = _cdiv(k, g_off)
     glanes = g_off * c
     first = (pl.program_id(0) == 0) & (step == 0)
+    if g_off == 1:
+        g_scratch, oh_scratch, s_scratch = scratch
 
-    @pl.when(first)
-    def _zero():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
-        s_scratch[...] = jnp.zeros_like(s_scratch)
-        oh_scratch[...] = jnp.zeros_like(oh_scratch)
+        @pl.when(first)
+        def _zero1():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+    else:
+        oh_scratch, s_scratch = scratch
+
+        @pl.when(first)
+        def _zero():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+            s_scratch[...] = jnp.zeros_like(s_scratch)
+            oh_scratch[...] = jnp.zeros_like(oh_scratch)
 
     for pp in range(p):
         tile = step * p + pp
@@ -488,6 +563,34 @@ def _dw_kernel(
         @pl.when(tile < live_ref[pl.program_id(0), 0])
         def _live(pp=pp, tile=tile):
             qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
+            gy_t = gy_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :]
+            if g_off == 1:
+                if kc_pad > k * c:
+                    g_scratch[:, k * c:] = jnp.zeros_like(
+                        g_scratch[:, k * c:]
+                    )
+                for kk in range(k):
+                    start = pl.multiple_of(
+                        start_ref[0, tile, kk], START_ALIGN
+                    )
+                    win = keys_ref[0, pl.ds(start, window_r), 0]
+                    oh_scratch[kk] = (
+                        win[:, None] == qt[kk][None, :]
+                    ).astype(oh_scratch.dtype)
+                    s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
+                gkt = jax.lax.dot_general(  # [K, T, C]
+                    oh_scratch[:], s_scratch[:],
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(g_scratch.dtype)
+                for kk in range(k):
+                    g_scratch[:, kk * c: (kk + 1) * c] = gkt[kk]
+                dw_ref[...] += jax.lax.dot_general(
+                    g_scratch[:], gy_t,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [KC_pad, CO] f32
+                return
             for kk in range(k):
                 g, j = divmod(kk, g_off)
                 start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
@@ -498,7 +601,6 @@ def _dw_kernel(
                 s_scratch[
                     g, j * window_r:(j + 1) * window_r, j * c:(j + 1) * c
                 ] = table_ref[0, pl.ds(start, window_r), :]
-            gy_t = gy_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :]
             for g in range(n_groups):
                 got = jax.lax.dot_general(  # [T, G*C]
                     oh_scratch[g], s_scratch[g],
@@ -530,7 +632,7 @@ def window_dw(
     b, m, k = qkeys.shape
     c = feats.shape[-1]
     co = gy.shape[-1]
-    p = TILES_PER_STEP
+    p = _tiles_per_step(k)
     qkeys, start, mb = _bounded_queries(qkeys, start, q_bound, p)
     gy = gy[:, :mb]
     pk, pt = _padded_table(keys, feats)
@@ -545,10 +647,22 @@ def window_dw(
     g_off = _group_size(k, c)
     n_groups = _cdiv(k, g_off)
     glanes = g_off * c
+    kc_pad = _round_up(k * c, 128) if g_off == 1 else n_groups * glanes
     live2 = _live_tiles(q_active, mb)[:, None]
     kern = functools.partial(
-        _dw_kernel, k=k, c=c, window_r=window_r, p=p
+        _dw_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p
     )
+    if g_off == 1:
+        scratch_shapes = [
+            pltpu.VMEM((TILE_T, kc_pad), feats.dtype),
+            pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
+            pltpu.VMEM((k, window_r, c), feats.dtype),
+        ]
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((n_groups, g_off * window_r, TILE_T), feats.dtype),
+            pltpu.VMEM((n_groups, g_off * window_r, glanes), feats.dtype),
+        ]
     dw = pl.pallas_call(
         kern,
         grid=(b, n_steps),
@@ -566,14 +680,11 @@ def window_dw(
             pl.BlockSpec((1, TILE_T * p, co), lambda bb, i: (bb, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_groups * glanes, co),
+        out_specs=pl.BlockSpec((kc_pad, co),
                                lambda bb, i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_groups * glanes, co), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((n_groups, g_off * window_r, TILE_T), feats.dtype),
-            pltpu.VMEM((n_groups, g_off * window_r, glanes), feats.dtype),
-        ],
+        out_shape=jax.ShapeDtypeStruct((kc_pad, co), jnp.float32),
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

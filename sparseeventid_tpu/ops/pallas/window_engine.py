@@ -251,6 +251,10 @@ def _apply_overflow_any(out, table, w, src, dst, kk, valid, interpret):
     """Pallas sidecar on hardware; the XLA twin in interpret mode (the XLA
     gather/one-hot/scatter formulation compiles pathologically slowly on TPU
     and destabilized jax.grad modules — see window_conv.overflow_apply)."""
+    import os
+
+    if os.environ.get("SEID_NO_SIDECAR") == "1":  # timing bisect only:
+        return out                                # drops overflow pairs!
     if interpret:
         return _apply_overflow(out, table, w, src, dst, kk, valid)
     return overflow_apply(
@@ -259,6 +263,12 @@ def _apply_overflow_any(out, table, w, src, dst, kk, valid, interpret):
 
 
 def _overflow_dw_any(x, gy, src, dst, kk, valid, k, interpret):
+    import os
+
+    if os.environ.get("SEID_NO_SIDECAR") == "1":  # timing bisect only
+        import jax.numpy as _jnp
+
+        return _jnp.zeros((k, x.shape[-1], gy.shape[-1]), _jnp.float32)
     if interpret:
         return _overflow_dw(x, gy, src, dst, kk, valid, k)
     return overflow_dw(x, gy, k, src, dst, kk, valid)
