@@ -49,11 +49,18 @@ from ..sparse_tensor import INVALID_KEY, SparseTensor, linearize
 # R conv window rows, PLAN_R plan-stage window rows. R/PLAN_R are sublane
 # dims — any multiple of 16 works; starts are aligned to 16 (bf16 sublane
 # tile) so dynamic slices stay tile-aligned.
+import os as _os
+
 TILE_T = 128
 ANCHOR_A = 128
-WINDOW_R = 176       # submanifold default: table/query density ratio 1
-WINDOW_R_STRIDED = 320  # strided fwd: parent table is ~2x denser than the
-                        # child queries, so per-tile spans approach 2*T
+# Submanifold window rows (default 176: per-tile span p99 <= ~220, <1%
+# out-of-window pairs).  Smaller R trades sidecar load for kernel time —
+# the R sweep is env-tunable because plan build (host C++ or device) and
+# the conv kernels must agree on it.
+WINDOW_R = int(_os.environ.get("SEID_WINDOW_R", "176"))
+WINDOW_R_STRIDED = int(_os.environ.get("SEID_WINDOW_R_STRIDED", "320"))
+# strided fwd: parent table is ~2x denser than the child queries, so
+# per-tile spans approach 2*T
 PLAN_R = 384
 START_ALIGN = 16
 # Query tiles processed per grid step.  Mosaic's per-grid-step fixed cost
@@ -63,28 +70,45 @@ TILES_PER_STEP = 4
 
 
 def _group_size(k: int, c: int) -> int:
-    """Offsets per MXU group: pack G=128//C offsets' windows into one
-    block-diagonal dot so the 128-lane output is full at C<128.  The
-    per-offset batched dot padded C up to 128 lanes (4x waste at C=32) and
-    needed a [T, K*C] scratch round-trip; the grouped form writes the
-    second-GEMM operand directly.  Grouping only pays when the staged
-    window lands at friendly lane offsets: C must divide the 32-lane
-    store granule or the block-diagonal stores turn into lane-rotated
-    masked writes (measured regression at C=1, the initial 5^d conv)."""
+    """Offsets per MXU group.  Default 1 = the batched-over-K formulation:
+    calibrated in-program chain timings (scripts/chain_probe.py /
+    kernel_variants.py) showed the block-diagonal grouped form is never
+    faster once the ~2.8 ms per-executable launch latency is subtracted
+    (grouped 4.29 ms vs batched 4.22 at C=32, and batched responds to
+    WINDOW_R shrinks while grouped does not).  SEID_GROUP=1 re-enables
+    grouping (C must divide the 32-lane store granule) for experiments."""
     import os
 
-    if os.environ.get("SEID_NO_GROUP") == "1":  # perf-bisect escape hatch
+    if os.environ.get("SEID_GROUP") != "1":
         return 1
     if c < 32 or 128 % c != 0:
         return 1
     return max(1, min(k, 128 // c))
 
+def _use_ct(c: int, co: int) -> bool:
+    """Transposed ("CT") kernel formulation: both MXU dots put the T=128
+    query tile in the OUTPUT LANE dim instead of the channel dim —
+    [K,R,C]x[K,R,T] -> [K,C,T] and [CO,KC]x[KC,T] -> [CO,T] — so at C=32
+    the dots stop wasting 3/4 of the MXU output lanes.  The [B,CO,M] ->
+    [B,M,CO] layout fix-up happens OUTSIDE the kernel as one cheap XLA
+    transpose.  Needs C,CO multiples of 16 (bf16 sublane tile) for the
+    block-row scratch stores.  SEID_CT=0 forces the legacy orientation."""
+    import os
+
+    env = os.environ.get("SEID_CT")
+    if env is not None:
+        if env == "0":
+            return False
+        return c % 16 == 0 and co % 16 == 0
+    return c % 16 == 0 and co % 16 == 0
+
+
 def _tiles_per_step(k: int) -> int:
-    """Query tiles per grid step.  Multi-tile steps amortize the per-step
-    fixed cost, but the unrolled body scales with K*P: at K=125 (the 5^3
-    initial conv) P=4 measured 50% SLOWER than P=1 (107.6 vs 71.3 ms
-    fwd+bwd at dune3d level-0), while every K<=27 kernel was equal or
-    faster.  Env overrides for perf bisects: SEID_P forces a value."""
+    """Query tiles per grid step.  Calibrated chain timings: P=4 is
+    slightly faster than P=1 at K=27 (4.22 vs 4.41 ms in-program); at
+    K=125 the unrolled body scales with K*P and the compile blows up
+    (a K=125 P=4 module timed out the compile service), so the 5^3
+    initial conv stays at P=1.  SEID_P forces a value for bisects."""
     import os
 
     env = os.environ.get("SEID_P")
@@ -294,27 +318,40 @@ def _conv_kernel(
     kc_pad: int,
     window_r: int,
     p: int,
+    ct: bool = False,
 ):
     """P query tiles per step.
 
-    G=1 (default): ONE batched-over-K dot [K,R,T]x[K,R,C] -> [K,T,C], a
-    [T, K*C] scratch round-trip, then a single big weight GEMM — the MXU
-    stays on two large ops per tile (measured fastest end-to-end; a
-    per-offset loop of small dots regressed the full step by ~25%).
+    G=1 (default): ONE batched-over-K dot, a scratch round-trip, then a
+    single big weight GEMM — the MXU stays on two large ops per tile
+    (measured fastest end-to-end; a per-offset loop of small dots
+    regressed the full step by ~25%).  With ``ct`` (the default when
+    C, CO are sublane-tile multiples) both dots put T=128 in the OUTPUT
+    LANES: [K,R,C]x[K,R,T] -> [K,C,T] into a [KC, T] scratch, then
+    [CO,KC]x[KC,T] -> [CO,T], stored to a [B, CO, M] output that the
+    wrapper transposes once outside the kernel — at C=32 the legacy
+    orientation wasted 3/4 of the MXU output lanes on both dots.
 
-    G>1: offsets packed G=128//C per block-diagonal dot.  Group g stages
-    offset kk=g*G+j's window at rows [j*R, (j+1)*R) and lanes
-    [j*C, (j+1)*C): off-diagonal blocks (and the tail group's unused
-    slots) are zeroed ONCE at the first grid step and never written again,
-    so each grouped dot yields [T, G*C] — a direct lane-slice of the
-    implicit [T, K*C] gathered matrix, consumed by the weight GEMM without
-    any scratch round-trip."""
+    G>1 (experiments only, see _group_size): offsets packed G=128//C per
+    block-diagonal dot.  Group g stages offset kk=g*G+j's window at rows
+    [j*R, (j+1)*R) and lanes [j*C, (j+1)*C): off-diagonal blocks (and the
+    tail group's unused slots) are zeroed ONCE at the first grid step and
+    never written again, so each grouped dot yields [T, G*C] — a direct
+    lane-slice of the implicit [T, K*C] gathered matrix, consumed by the
+    weight GEMM without any scratch round-trip."""
     step = pl.program_id(1)
     g_off = _group_size(k, c)
     n_groups = _cdiv(k, g_off)
     glanes = g_off * c
     if g_off == 1:
         g_scratch, oh_scratch, s_scratch = scratch
+        if ct and kc_pad > k * c:
+            # pad ROWS of the [KC_pad, T] scratch are never written by the
+            # per-tile stores; uninitialized VMEM can hold NaN patterns and
+            # 0 * NaN would poison the weight GEMM — zero them once.
+            @pl.when((pl.program_id(0) == 0) & (step == 0))
+            def _zero_pad():
+                g_scratch[k * c:, :] = jnp.zeros_like(g_scratch[k * c:, :])
     else:
         oh_scratch, s_scratch = scratch
 
@@ -328,18 +365,19 @@ def _conv_kernel(
 
         @pl.when(tile >= live_ref[pl.program_id(0), 0])
         def _dead(pp=pp):
-            out_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :] = jnp.zeros(
-                (TILE_T, out_ref.shape[2]), out_ref.dtype
-            )
+            if ct:
+                out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = jnp.zeros(
+                    (out_ref.shape[1], TILE_T), out_ref.dtype
+                )
+            else:
+                out_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :] = jnp.zeros(
+                    (TILE_T, out_ref.shape[2]), out_ref.dtype
+                )
 
         @pl.when(tile < live_ref[pl.program_id(0), 0])
         def _live(pp=pp, tile=tile):
             qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
             if g_off == 1:
-                if kc_pad > k * c:
-                    g_scratch[:, k * c:] = jnp.zeros_like(
-                        g_scratch[:, k * c:]
-                    )
                 for kk in range(k):
                     start = pl.multiple_of(
                         start_ref[0, tile, kk], START_ALIGN
@@ -349,6 +387,26 @@ def _conv_kernel(
                         win[:, None] == qt[kk][None, :]
                     ).astype(oh_scratch.dtype)  # [R, T]
                     s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
+                if ct:
+                    gkt = jax.lax.dot_general(  # [K, C, T]
+                        s_scratch[:], oh_scratch[:],
+                        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ).astype(g_scratch.dtype)
+                    for kk in range(k):  # row-block layout for the GEMM
+                        g_scratch[kk * c: (kk + 1) * c, :] = gkt[kk]
+                    out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = (
+                        jax.lax.dot_general(  # [CO, T]
+                            w_ref[:], g_scratch[:],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(out_ref.dtype)
+                    )
+                    return
+                if kc_pad > k * c:
+                    g_scratch[:, k * c:] = jnp.zeros_like(
+                        g_scratch[:, k * c:]
+                    )
                 gkt = jax.lax.dot_general(  # [K, T, C]
                     oh_scratch[:], s_scratch[:],
                     dimension_numbers=(((1,), (1,)), ((0,), (0,))),
@@ -464,18 +522,22 @@ def window_conv_apply(
         start = jnp.pad(start, ((0, 0), (0, n_tiles - start.shape[1]),
                                 (0, 0)))
     g_off = _group_size(k, c)
+    ct = g_off == 1 and _use_ct(c, co)
     n_groups = _cdiv(k, g_off)
     glanes = g_off * c
     kc_pad = _round_up(k * c, 128) if g_off == 1 else n_groups * glanes
     w2 = w.reshape(k * c, co).astype(feats.dtype)
     w2 = jnp.pad(w2, ((0, kc_pad - k * c), (0, 0)))
+    if ct:
+        w2 = w2.transpose(1, 0)  # [CO, KC_pad]
     live2 = _live_tiles(q_active, mb)[:, None]
     kern = functools.partial(
-        _conv_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p
+        _conv_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p, ct=ct
     )
     if g_off == 1:
         scratch_shapes = [
-            pltpu.VMEM((TILE_T, kc_pad), feats.dtype),
+            pltpu.VMEM((kc_pad, TILE_T) if ct else (TILE_T, kc_pad),
+                       feats.dtype),
             pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
             pltpu.VMEM((k, window_r, c), feats.dtype),
         ]
@@ -484,6 +546,14 @@ def window_conv_apply(
             pltpu.VMEM((n_groups, g_off * window_r, TILE_T), feats.dtype),
             pltpu.VMEM((n_groups, g_off * window_r, glanes), feats.dtype),
         ]
+    if ct:
+        out_spec = pl.BlockSpec((1, co, TILE_T * p), lambda bb, i: (bb, 0, i),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((b, co, n_tiles * TILE_T), feats.dtype)
+    else:
+        out_spec = pl.BlockSpec((1, TILE_T * p, co), lambda bb, i: (bb, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_sds = jax.ShapeDtypeStruct((b, n_tiles * TILE_T, co), feats.dtype)
     out = pl.pallas_call(
         kern,
         grid=(b, n_steps),
@@ -498,18 +568,19 @@ def window_conv_apply(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((kc_pad, co), lambda bb, i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, kc_pad) if ct else (kc_pad, co),
+                         lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_T * p, co), lambda bb, i: (bb, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles * TILE_T, co), feats.dtype),
+        out_specs=out_spec,
+        out_shape=out_sds,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(live2, pk[..., None], pt, qk_p, start, w2)
+    if ct:
+        out = out.transpose(0, 2, 1)
     out = out[:, :mb]
     if mb < m:
         out = _pad_rows(out, m, 0)
@@ -531,12 +602,15 @@ def _dw_kernel(
     kc_pad: int,
     window_r: int,
     p: int,
+    ct: bool = False,
 ):
     """dW += g_tile^T @ gy_tile, fused with the window gather — no [B, M,
     K*C] materialization in HBM and no XLA einsum (the round-1/2 backward
     wrote ~700 MB of gathered rows per level-0 conv just to contract them
-    immediately).  Same G=1 batched-K / G>1 block-diagonal split and
-    multi-tile step as _conv_kernel."""
+    immediately).  Same G=1 batched-K / G>1 block-diagonal split, multi-
+    tile step, and ``ct`` lane-transposed orientation as _conv_kernel —
+    with ct, gy arrives pre-transposed as [B, CO, M] and the accumulator
+    is [CO, KC_pad] f32 with KC in the lanes."""
     step = pl.program_id(1)
     g_off = _group_size(k, c)
     n_groups = _cdiv(k, g_off)
@@ -548,6 +622,8 @@ def _dw_kernel(
         @pl.when(first)
         def _zero1():
             dw_ref[...] = jnp.zeros_like(dw_ref)
+            if ct and kc_pad > k * c:
+                g_scratch[k * c:, :] = jnp.zeros_like(g_scratch[k * c:, :])
     else:
         oh_scratch, s_scratch = scratch
 
@@ -563,12 +639,7 @@ def _dw_kernel(
         @pl.when(tile < live_ref[pl.program_id(0), 0])
         def _live(pp=pp, tile=tile):
             qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
-            gy_t = gy_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :]
             if g_off == 1:
-                if kc_pad > k * c:
-                    g_scratch[:, k * c:] = jnp.zeros_like(
-                        g_scratch[:, k * c:]
-                    )
                 for kk in range(k):
                     start = pl.multiple_of(
                         start_ref[0, tile, kk], START_ALIGN
@@ -578,6 +649,26 @@ def _dw_kernel(
                         win[:, None] == qt[kk][None, :]
                     ).astype(oh_scratch.dtype)
                     s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
+                if ct:
+                    gy_ct = gy_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]
+                    gkt = jax.lax.dot_general(  # [K, C, T]
+                        s_scratch[:], oh_scratch[:],
+                        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ).astype(g_scratch.dtype)
+                    for kk in range(k):
+                        g_scratch[kk * c: (kk + 1) * c, :] = gkt[kk]
+                    dw_ref[...] += jax.lax.dot_general(
+                        gy_ct, g_scratch[:],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [CO, KC_pad] f32
+                    return
+                gy_t = gy_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :]
+                if kc_pad > k * c:
+                    g_scratch[:, k * c:] = jnp.zeros_like(
+                        g_scratch[:, k * c:]
+                    )
                 gkt = jax.lax.dot_general(  # [K, T, C]
                     oh_scratch[:], s_scratch[:],
                     dimension_numbers=(((1,), (1,)), ((0,), (0,))),
@@ -591,6 +682,7 @@ def _dw_kernel(
                     preferred_element_type=jnp.float32,
                 )  # [KC_pad, CO] f32
                 return
+            gy_t = gy_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :]
             for kk in range(k):
                 g, j = divmod(kk, g_off)
                 start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
@@ -645,16 +737,18 @@ def window_dw(
         start = jnp.pad(start, ((0, 0), (0, n_tiles - start.shape[1]),
                                 (0, 0)))
     g_off = _group_size(k, c)
+    ct = g_off == 1 and _use_ct(c, co)
     n_groups = _cdiv(k, g_off)
     glanes = g_off * c
     kc_pad = _round_up(k * c, 128) if g_off == 1 else n_groups * glanes
     live2 = _live_tiles(q_active, mb)[:, None]
     kern = functools.partial(
-        _dw_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p
+        _dw_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p, ct=ct
     )
     if g_off == 1:
         scratch_shapes = [
-            pltpu.VMEM((TILE_T, kc_pad), feats.dtype),
+            pltpu.VMEM((kc_pad, TILE_T) if ct else (TILE_T, kc_pad),
+                       feats.dtype),
             pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
             pltpu.VMEM((k, window_r, c), feats.dtype),
         ]
@@ -663,6 +757,19 @@ def window_dw(
             pltpu.VMEM((n_groups, g_off * window_r, TILE_T), feats.dtype),
             pltpu.VMEM((n_groups, g_off * window_r, glanes), feats.dtype),
         ]
+    if ct:
+        gy_p = gy_p.transpose(0, 2, 1)  # [B, CO, M] — one XLA transpose
+        gy_spec = pl.BlockSpec((1, co, TILE_T * p), lambda bb, i: (bb, 0, i),
+                               memory_space=pltpu.VMEM)
+        dw_spec = pl.BlockSpec((co, kc_pad), lambda bb, i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        dw_sds = jax.ShapeDtypeStruct((co, kc_pad), jnp.float32)
+    else:
+        gy_spec = pl.BlockSpec((1, TILE_T * p, co), lambda bb, i: (bb, i, 0),
+                               memory_space=pltpu.VMEM)
+        dw_spec = pl.BlockSpec((kc_pad, co), lambda bb, i: (0, 0),
+                               memory_space=pltpu.VMEM)
+        dw_sds = jax.ShapeDtypeStruct((kc_pad, co), jnp.float32)
     dw = pl.pallas_call(
         kern,
         grid=(b, n_steps),
@@ -677,19 +784,18 @@ def window_dw(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TILE_T * p, co), lambda bb, i: (bb, i, 0),
-                         memory_space=pltpu.VMEM),
+            gy_spec,
         ],
-        out_specs=pl.BlockSpec((kc_pad, co),
-                               lambda bb, i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((kc_pad, co), jnp.float32),
+        out_specs=dw_spec,
+        out_shape=dw_sds,
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(live2, pk[..., None], pt, qk_p, start, gy_p)
+    if ct:
+        dw = dw.transpose(1, 0)
     return dw[: k * c].reshape(k, c, co)
 
 
