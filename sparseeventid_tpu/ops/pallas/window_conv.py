@@ -96,11 +96,11 @@ def _use_ct(c: int, co: int) -> bool:
     import os
 
     env = os.environ.get("SEID_CT")
-    if env is not None:
-        if env == "0":
-            return False
-        return c % 16 == 0 and co % 16 == 0
-    return c % 16 == 0 and co % 16 == 0
+    if env == "0":
+        return False
+    # c == 1 rides the CT output layout too, with a select-based gather
+    # (see _conv_kernel): the [K,R,1] gather dot would use 1/128 MXU lanes.
+    return (c % 16 == 0 or c == 1) and co % 16 == 0
 
 
 def _tiles_per_step(k: int) -> int:
@@ -344,7 +344,10 @@ def _conv_kernel(
     n_groups = _cdiv(k, g_off)
     glanes = g_off * c
     if g_off == 1:
-        g_scratch, oh_scratch, s_scratch = scratch
+        if ct and c == 1:
+            g_scratch, = scratch
+        else:
+            g_scratch, oh_scratch, s_scratch = scratch
         if ct and kc_pad > k * c:
             # pad ROWS of the [KC_pad, T] scratch are never written by the
             # per-tile stores; uninitialized VMEM can hold NaN patterns and
@@ -378,6 +381,31 @@ def _conv_kernel(
         def _live(pp=pp, tile=tile):
             qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
             if g_off == 1:
+                if ct and c == 1:
+                    # C=1 (the 5^d initial conv): one-hot x scalar table ==
+                    # masked select, so the gather is a VPU select+sublane
+                    # reduction per offset straight into g2's row kk — no
+                    # [K,R,1] dot (1/128 MXU lane use) and no oh/s staging.
+                    for kk in range(k):
+                        start = pl.multiple_of(
+                            start_ref[0, tile, kk], START_ALIGN
+                        )
+                        win = keys_ref[0, pl.ds(start, window_r), 0]
+                        xw = table_ref[0, pl.ds(start, window_r), 0].astype(
+                            jnp.float32
+                        )
+                        oh = win[:, None] == qt[kk][None, :]  # [R, T]
+                        g_scratch[kk, :] = jnp.sum(
+                            jnp.where(oh, xw[:, None], 0.0), axis=0
+                        )
+                    out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = (
+                        jax.lax.dot_general(  # [CO, T]
+                            w_ref[:], g_scratch[:].astype(w_ref.dtype),
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(out_ref.dtype)
+                    )
+                    return
                 for kk in range(k):
                     start = pl.multiple_of(
                         start_ref[0, tile, kk], START_ALIGN
@@ -535,12 +563,15 @@ def window_conv_apply(
         _conv_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p, ct=ct
     )
     if g_off == 1:
-        scratch_shapes = [
-            pltpu.VMEM((kc_pad, TILE_T) if ct else (TILE_T, kc_pad),
-                       feats.dtype),
-            pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
-            pltpu.VMEM((k, window_r, c), feats.dtype),
-        ]
+        if ct and c == 1:
+            scratch_shapes = [pltpu.VMEM((kc_pad, TILE_T), jnp.float32)]
+        else:
+            scratch_shapes = [
+                pltpu.VMEM((kc_pad, TILE_T) if ct else (TILE_T, kc_pad),
+                           feats.dtype),
+                pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
+                pltpu.VMEM((k, window_r, c), feats.dtype),
+            ]
     else:
         scratch_shapes = [
             pltpu.VMEM((n_groups, g_off * window_r, TILE_T), feats.dtype),
@@ -617,7 +648,10 @@ def _dw_kernel(
     glanes = g_off * c
     first = (pl.program_id(0) == 0) & (step == 0)
     if g_off == 1:
-        g_scratch, oh_scratch, s_scratch = scratch
+        if ct and c == 1:
+            g_scratch, = scratch
+        else:
+            g_scratch, oh_scratch, s_scratch = scratch
 
         @pl.when(first)
         def _zero1():
@@ -640,6 +674,27 @@ def _dw_kernel(
         def _live(pp=pp, tile=tile):
             qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
             if g_off == 1:
+                if ct and c == 1:
+                    # C=1 select-gather (see _conv_kernel)
+                    for kk in range(k):
+                        start = pl.multiple_of(
+                            start_ref[0, tile, kk], START_ALIGN
+                        )
+                        win = keys_ref[0, pl.ds(start, window_r), 0]
+                        xw = table_ref[0, pl.ds(start, window_r), 0].astype(
+                            jnp.float32
+                        )
+                        oh = win[:, None] == qt[kk][None, :]
+                        g_scratch[kk, :] = jnp.sum(
+                            jnp.where(oh, xw[:, None], 0.0), axis=0
+                        )
+                    gy_ct1 = gy_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]
+                    dw_ref[...] += jax.lax.dot_general(
+                        gy_ct1, g_scratch[:].astype(gy_ct1.dtype),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [CO, KC_pad] f32
+                    return
                 for kk in range(k):
                     start = pl.multiple_of(
                         start_ref[0, tile, kk], START_ALIGN
@@ -746,12 +801,15 @@ def window_dw(
         _dw_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p, ct=ct
     )
     if g_off == 1:
-        scratch_shapes = [
-            pltpu.VMEM((kc_pad, TILE_T) if ct else (TILE_T, kc_pad),
-                       feats.dtype),
-            pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
-            pltpu.VMEM((k, window_r, c), feats.dtype),
-        ]
+        if ct and c == 1:
+            scratch_shapes = [pltpu.VMEM((kc_pad, TILE_T), jnp.float32)]
+        else:
+            scratch_shapes = [
+                pltpu.VMEM((kc_pad, TILE_T) if ct else (TILE_T, kc_pad),
+                           feats.dtype),
+                pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
+                pltpu.VMEM((k, window_r, c), feats.dtype),
+            ]
     else:
         scratch_shapes = [
             pltpu.VMEM((n_groups, g_off * window_r, TILE_T), feats.dtype),
