@@ -36,6 +36,8 @@ from .window_conv import (
     compute_query_keys,
     overflow_apply,
     overflow_dw,
+    window_bwd_strided,
+    window_bwd_subm,
     window_conv_apply,
     window_dw,
     window_gather,
@@ -308,6 +310,25 @@ def _subm_fwd(offsets, feats, w, interpret, window_r, q_bound,
                  ov_src, ov_dst, ov_k, ov_valid)
 
 
+def _fused_bwd_ok(k: int, c: int, co: int) -> bool:
+    """The fused one-compare-pass backward kernels need the CT orientation
+    (C, CO sublane-tile multiples; the c==1 select path has no one-hot to
+    share) and the G=1 batched-K formulation.  SEID_FUSED_BWD=0 bisects
+    back to the separate dX / dW kernels."""
+    import os
+
+    from .window_conv import _group_size, _use_ct
+
+    if os.environ.get("SEID_FUSED_BWD") == "0":
+        return False
+    return (
+        _group_size(k, c) == 1
+        and c % 16 == 0
+        and co % 16 == 0
+        and _use_ct(c, co)
+    )
+
+
 def _subm_bwd(offsets, interpret, window_r, q_bound, res, gy):
     (feats, w, keys, qkeys, start, q_active,
      ov_src, ov_dst, ov_k, ov_valid) = res
@@ -315,6 +336,22 @@ def _subm_bwd(offsets, interpret, window_r, q_bound, res, gy):
     perm_np = _mirror_perm(offsets)
     perm = jnp.asarray(perm_np)
     gy = gy.astype(feats.dtype)
+    if _fused_bwd_ok(k, c, co):
+        # One fused kernel builds the per-(tile, offset) one-hots once and
+        # emits BOTH cotangents (see window_conv._bwd_subm_kernel); the
+        # overflow sidecars below are unchanged (same pair-set complement).
+        dx, dw = window_bwd_subm(
+            keys, feats, gy, qkeys, start, w, q_active, perm_np,
+            interpret=interpret, window_r=window_r, q_bound=q_bound,
+        )
+        w_t = jnp.transpose(w, (0, 2, 1))
+        dx = _apply_overflow_any(
+            dx, gy, w_t[perm_np], ov_src, ov_dst, ov_k, ov_valid, interpret
+        )
+        dw = dw + _overflow_dw_any(
+            feats, gy, ov_src, ov_dst, ov_k, ov_valid, k, interpret
+        )
+        return (dx, dw.astype(w.dtype)) + (None,) * 8
     # dX window pass: mirrored query columns, transposed weights.  Window
     # membership is NOT symmetric under mirroring: the mirrored pass covers
     # pair (a -> b, k) iff the forward window covered its TWIN (b -> a,
@@ -414,6 +451,20 @@ def _strided_bwd(offsets, interpret, f_r, r_r, f_b, r_b, res, gy):
     k, c, co = w.shape
     gy = gy.astype(feats.dtype)
     w_t = jnp.transpose(w, (0, 2, 1))
+    if _fused_bwd_ok(k, c, co):
+        # dX and dW both walk the reverse plan over the same gy table;
+        # the fused kernel gathers it once (window_conv._bwd_strided_kernel).
+        dx, dw = window_bwd_strided(
+            keys_out, gy, feats, rq, rs, w, r_act,
+            interpret=interpret, window_r=r_r, q_bound=r_b,
+        )
+        dx = _apply_overflow_any(
+            dx, gy, w_t, ro_src, ro_dst, ro_k, ro_val, interpret
+        )
+        dw = dw + _overflow_dw_any(
+            feats, gy, ro_dst, ro_src, ro_k, ro_val, k, interpret
+        )
+        return (dx, dw.astype(w.dtype)) + (None,) * 16
     # dX via the reverse plan: each input row reads its parent's dY through
     # its own offset column.
     dx = window_conv_apply(

@@ -21,6 +21,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+if os.environ.get("SEID_FORCE_CPU") == "1":
+    # Escape hatch for when the axon TPU tunnel is down: the axon site hook
+    # forces jax_platforms="axon,cpu" at registration, but a config update
+    # BEFORE first backend init still wins.  Interpret-mode tests then run
+    # fully on the host.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compile cache makes repeated test runs fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

@@ -99,6 +99,62 @@ def test_subm_gradients_match_xla():
     np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_r), rtol=1e-3, atol=1e-4)
 
 
+def test_subm_gradients_match_xla_fused_bwd():
+    """C, CO multiples of 16 engage the fused one-pass backward
+    (window_engine._fused_bwd_ok -> window_conv.window_bwd_subm)."""
+    from sparseeventid_tpu.ops.pallas.window_engine import _fused_bwd_ok
+
+    assert _fused_bwd_ok(27, 16, 32)
+    st = make_st(seed=7, c=16)
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.standard_normal((27, 16, 32)).astype(np.float32) * 0.2)
+    rb = ops.build_submanifold_rulebook(st, (3, 3, 3))
+    plan = build_submanifold_window_plan(st, (3, 3, 3), interpret=True)
+
+    def loss_ref(w, f):
+        return jnp.sum(ops.submanifold_conv(st.with_feats(f), rb, w).feats ** 2)
+
+    def loss_win(w, f):
+        return jnp.sum(
+            window_submanifold_conv(
+                st.with_feats(f), plan, w, interpret=True
+            ).feats ** 2
+        )
+
+    gw_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(w, st.feats)
+    gw_p, gf_p = jax.grad(loss_win, argnums=(0, 1))(w, st.feats)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_r), rtol=1e-3, atol=1e-4)
+
+
+def test_strided_grads_match_xla_fused_bwd():
+    """Strided fused backward (window_conv.window_bwd_strided)."""
+    st = make_st(seed=9, c=16)
+    stride = (2, 2, 2)
+    skeleton, rb = ops.build_downsample(st, stride)
+    rng = np.random.default_rng(10)
+    w = jnp.asarray(rng.standard_normal((8, 16, 32)).astype(np.float32) * 0.3)
+    fwd_plan, rev_plan = build_strided_window_plans(
+        st, skeleton, stride, interpret=True
+    )
+
+    def loss_ref(w, f):
+        return jnp.sum(ops.strided_conv(st.with_feats(f), skeleton, rb, w).feats ** 2)
+
+    def loss_win(w, f):
+        return jnp.sum(
+            window_strided_conv(
+                st.with_feats(f), skeleton, fwd_plan, rev_plan, w,
+                interpret=True,
+            ).feats ** 2
+        )
+
+    gw_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(w, st.feats)
+    gw_p, gf_p = jax.grad(loss_win, argnums=(0, 1))(w, st.feats)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_r), rtol=1e-3, atol=1e-4)
+
+
 def test_strided_forward_and_grads_match_xla():
     st = make_st(seed=5, c=6)
     stride = (2, 2, 2)
