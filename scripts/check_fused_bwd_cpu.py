@@ -112,10 +112,54 @@ def check_strided(c, co, seed):
     print(f"strided fused bwd OK  C={c} CO={co} (bit-exact dW, dX)")
 
 
+def check_subm_overflow(c, co, seed):
+    """Dense line geometry + a tiny window forces overflow pairs, so the
+    twin-complement dW sidecar (swapped src/dst + perm reorder) is hit."""
+    rng = np.random.default_rng(seed)
+    grid = (64, 20, 20)
+    n = 512
+    coords = np.full((1, n, 3), -1, np.int32)
+    # Dense x=32 plane pierced by an x-line: the line query (31, 10, 10)
+    # matches (32, 10, 10) ~210 rows into the plane block while its
+    # tile-mates match consecutive line rows — span > WINDOW_R => overflow.
+    pts = [(32, y, z) for y in range(20) for z in range(20)]
+    pts += [(x, 10, 10) for x in range(64)]
+    pts = np.array(sorted(set(pts)), np.int32)
+    m = len(pts)
+    coords[0, :m] = pts
+    feats = np.zeros((1, n, c), np.float32)
+    feats[0, :m] = rng.integers(-3, 4, size=(m, c))
+    st = ops.build_sparse_tensor(jnp.asarray(coords), jnp.asarray(feats), grid)
+    rb = ops.build_submanifold_rulebook(st, (3, 3, 3))
+    plan = build_submanifold_window_plan(
+        st, (3, 3, 3), overflow_cap=2048, interpret=True
+    )
+    n_ov = int(np.asarray(plan.ov_valid).sum())
+    assert n_ov > 0, "geometry failed to force overflow pairs"
+    w = jnp.asarray(rng.integers(-2, 3, size=(27, c, co)).astype(np.float32))
+    gy = jnp.asarray(rng.integers(-2, 3, size=(1, n, co)).astype(np.float32))
+
+    def loss_ref(w, f):
+        y = ops.submanifold_conv(st.with_feats(f), rb, w).feats
+        return jnp.sum(y * gy)
+
+    def loss_win(w, f):
+        y = window_submanifold_conv(st.with_feats(f), plan, w,
+                                    interpret=True).feats
+        return jnp.sum(y * gy)
+
+    gw_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(w, st.feats)
+    gw_p, gf_p = jax.grad(loss_win, argnums=(0, 1))(w, st.feats)
+    np.testing.assert_array_equal(np.asarray(gw_p), np.asarray(gw_r))
+    np.testing.assert_array_equal(np.asarray(gf_p), np.asarray(gf_r))
+    print(f"subm fused bwd + overflow OK  C={c} CO={co} ({n_ov} ov pairs)")
+
+
 def main():
     check_subm(16, 16, seed=10)
     check_subm(32, 32, seed=11)
     check_subm(16, 32, seed=12)
+    check_subm_overflow(16, 32, seed=15)
     check_strided(16, 32, seed=13)
     check_strided(32, 64, seed=14)
     print("ALL FUSED BWD CHECKS PASSED")

@@ -857,105 +857,6 @@ def window_dw(
     return dw[: k * c].reshape(k, c, co)
 
 
-def _bwd_subm_kernel(
-    live_ref,  # SMEM i32[B, 1]
-    keys_ref,  # [1, Npad, 1] VMEM
-    xt_ref,  # [1, Npad, C] VMEM (x table)
-    gyt_ref,  # [1, Npad, CO] VMEM (gy table, row-major for window staging)
-    qk_ref,  # [1, P*T, K] VMEM
-    start_ref,  # [1, n_tiles, K] SMEM
-    wdx_ref,  # [C, KCO_pad] VMEM (dX weights, perm-folded)
-    gyct_ref,  # [1, CO, P*T] VMEM (gy tiles, lane-transposed)
-    dx_ref,  # [1, C, P*T] VMEM out
-    dw_ref,  # [CO, KC_pad] f32 VMEM out (accumulated over the grid)
-    gx_s,  # [KC_pad, T]
-    ggy_s,  # [KCO_pad, T]
-    oh_s,  # [K, R, T]
-    sx_s,  # [K, R, C]
-    sgy_s,  # [K, R, CO]
-    *,
-    k: int,
-    c: int,
-    co: int,
-    kc_pad: int,
-    kco_pad: int,
-    window_r: int,
-    p: int,
-):
-    """Fused submanifold backward: dX AND dW from ONE one-hot pass.
-
-    For a submanifold conv the output sites equal the input sites, so the
-    mirrored dX pass gathers gy with the FORWARD plan's one-hots in
-    permuted offset order (qkeys[:, :, perm] reads column perm[k] of the
-    same plan), and dW gathers x with the same one-hots — the separate dX
-    and dW kernels each rebuilt the identical [K, R, T] equality matrix,
-    the dominant VPU cost.  Here the compare runs once per tile:
-
-        oh[k]  = (win_keys[k] == q[k])           (K compares)
-        dX_ct  = W_dx @ concat_k(oh[k]^T gather of gy)   [C, T]
-        dW    += gy_ct @ concat_k(oh[k]^T gather of x)^T [CO, KC]
-
-    with W_dx[c, k*CO+co] = w[perm[k], c, co] folded OUTSIDE the kernel.
-    Both contractions keep the CT orientation (T=128 in the MXU lanes)."""
-    step = pl.program_id(1)
-    first = (pl.program_id(0) == 0) & (step == 0)
-
-    @pl.when(first)
-    def _zero():
-        dw_ref[...] = jnp.zeros_like(dw_ref)
-        if kc_pad > k * c:
-            gx_s[k * c:, :] = jnp.zeros_like(gx_s[k * c:, :])
-        if kco_pad > k * co:
-            ggy_s[k * co:, :] = jnp.zeros_like(ggy_s[k * co:, :])
-
-    for pp in range(p):
-        tile = step * p + pp
-
-        @pl.when(tile >= live_ref[pl.program_id(0), 0])
-        def _dead(pp=pp):
-            dx_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = jnp.zeros(
-                (dx_ref.shape[1], TILE_T), dx_ref.dtype
-            )
-
-        @pl.when(tile < live_ref[pl.program_id(0), 0])
-        def _live(pp=pp, tile=tile):
-            qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
-            for kk in range(k):
-                start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
-                win = keys_ref[0, pl.ds(start, window_r), 0]
-                oh_s[kk] = (
-                    win[:, None] == qt[kk][None, :]
-                ).astype(oh_s.dtype)  # [R, T]
-                sx_s[kk] = xt_ref[0, pl.ds(start, window_r), :]
-                sgy_s[kk] = gyt_ref[0, pl.ds(start, window_r), :]
-            gx = jax.lax.dot_general(  # [K, C, T]
-                sx_s[:], oh_s[:],
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(gx_s.dtype)
-            ggy = jax.lax.dot_general(  # [K, CO, T]
-                sgy_s[:], oh_s[:],
-                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            ).astype(ggy_s.dtype)
-            for kk in range(k):
-                gx_s[kk * c: (kk + 1) * c, :] = gx[kk]
-                ggy_s[kk * co: (kk + 1) * co, :] = ggy[kk]
-            dx_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = (
-                jax.lax.dot_general(  # [C, T]
-                    wdx_ref[:], ggy_s[:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(dx_ref.dtype)
-            )
-            gy_ct = gyct_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]
-            dw_ref[...] += jax.lax.dot_general(  # [CO, KC_pad]
-                gy_ct, gx_s[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-
-
 def window_bwd_subm(
     keys: jax.Array,  # [B, N] sorted site keys (shared by x and gy)
     feats: jax.Array,  # [B, N, C] forward input
@@ -969,80 +870,30 @@ def window_bwd_subm(
     window_r: int = WINDOW_R,
     q_bound: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """-> (dx [B, M, C], dw f32 [K, C, CO]) for the in-window pair set."""
-    b, m, k = qkeys.shape
-    c = feats.shape[-1]
-    co = gy.shape[-1]
-    p = _tiles_per_step(k)
-    qkeys_b, start_b, mb = _bounded_queries(qkeys, start, q_bound, p)
-    pk, pt = _padded_table(keys, feats)
-    _, pgy = _padded_table(keys, gy)
-    npad = pk.shape[1]
-    n_steps = _cdiv(mb, TILE_T * p)
-    n_tiles = n_steps * p
-    qk_p = _pad_rows(qkeys_b, n_tiles * TILE_T, INVALID_QUERY)
-    gy_ct = _pad_rows(gy[:, :mb], n_tiles * TILE_T, 0).transpose(0, 2, 1)
-    if start_b.shape[1] < n_tiles:
-        start_b = jnp.pad(
-            start_b, ((0, 0), (0, n_tiles - start_b.shape[1]), (0, 0))
-        )
-    kc_pad = _round_up(k * c, 128)
-    kco_pad = _round_up(k * co, 128)
-    wdx = w[perm].transpose(1, 0, 2).reshape(c, k * co).astype(feats.dtype)
-    wdx = jnp.pad(wdx, ((0, 0), (0, kco_pad - k * co)))
-    live2 = _live_tiles(q_active, mb)[:, None]
-    kern = functools.partial(
-        _bwd_subm_kernel, k=k, c=c, co=co, kc_pad=kc_pad, kco_pad=kco_pad,
-        window_r=window_r, p=p,
+    """Fused submanifold backward: dX AND dW from ONE gy gather.
+
+    For a submanifold conv the output sites equal the input sites, so
+    BOTH cotangents only need gy gathered through the FORWARD plan's
+    windows (pair mirror: the forward pair (i <- j, k) is the twin of
+    (j <- i, perm[k])):
+
+        dX[t] = sum_k W[perm[k]]^T gy[n(t, k)]
+        dW[perm[k], c, o] = sum_t x[t, c] * gy[n(t, k), o]
+
+    which is exactly the strided backward kernel evaluated on the
+    forward plan with perm-permuted weights — one compare pass, one
+    [K, R, CO] gy staging, no x-window staging at all (x enters only as
+    the lane-transposed [C, T] query-side tile).  The returned dw is the
+    in-window part of dW indexed by perm[k]; the caller adds the
+    twin-complement sidecar in the same mirrored index space and applies
+    the final [perm] reorder (an involution for centered kernels).
+
+    -> (dx [B, M, C], dw_mirror f32 [K, C, CO]; dW = (dw_mirror + twin
+    sidecar)[perm])."""
+    return window_bwd_strided(
+        keys, gy, feats, qkeys, start, jnp.asarray(w)[np.asarray(perm)],
+        q_active, interpret=interpret, window_r=window_r, q_bound=q_bound,
     )
-    dx, dw = pl.pallas_call(
-        kern,
-        grid=(b, n_steps),
-        in_specs=[
-            pl.BlockSpec(live2.shape, lambda bb, i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, npad, 1), lambda bb, i: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, npad, co), lambda bb, i: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T * p, k), lambda bb, i: (bb, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, start_b.shape[1], k), lambda bb, i: (bb, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((c, kco_pad), lambda bb, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co, TILE_T * p), lambda bb, i: (bb, 0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, c, TILE_T * p), lambda bb, i: (bb, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((co, kc_pad), lambda bb, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, c, n_tiles * TILE_T), feats.dtype),
-            jax.ShapeDtypeStruct((co, kc_pad), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((kc_pad, TILE_T), feats.dtype),
-            pltpu.VMEM((kco_pad, TILE_T), feats.dtype),
-            pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
-            pltpu.VMEM((k, window_r, c), feats.dtype),
-            pltpu.VMEM((k, window_r, co), feats.dtype),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(live2, pk[..., None], pt, pgy, qk_p, start_b, wdx, gy_ct)
-    dx = dx.transpose(0, 2, 1)[:, :mb]
-    if mb < m:
-        dx = _pad_rows(dx, m, 0)
-    dw = dw.transpose(1, 0)[: k * c].reshape(k, c, co)
-    return dx, dw
 
 
 def _bwd_strided_kernel(

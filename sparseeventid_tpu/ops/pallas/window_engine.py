@@ -337,10 +337,16 @@ def _subm_bwd(offsets, interpret, window_r, q_bound, res, gy):
     perm = jnp.asarray(perm_np)
     gy = gy.astype(feats.dtype)
     if _fused_bwd_ok(k, c, co):
-        # One fused kernel builds the per-(tile, offset) one-hots once and
-        # emits BOTH cotangents (see window_conv._bwd_subm_kernel); the
-        # overflow sidecars below are unchanged (same pair-set complement).
-        dx, dw = window_bwd_subm(
+        # One fused kernel gathers gy through the forward plan once and
+        # emits BOTH cotangents (window_conv.window_bwd_subm — the strided
+        # bwd kernel on mirrored pairs).  Both in-kernel pair sets are the
+        # MIRROR images M(W) of the forward in-window set, so both sidecars
+        # cover the twin complement M(O): for each forward overflow entry
+        # (src, dst, kk) the missing pair is (dst <- src, perm[kk]),
+        # contributing w_t[perm[kk]] @ gy[src] to dx[dst] and
+        # x[dst] (x) gy[src] to dW[perm[kk]] — hence the swapped src/dst in
+        # the dW sidecar and the final [perm] reorder of the mirrored dW.
+        dx, dw_m = window_bwd_subm(
             keys, feats, gy, qkeys, start, w, q_active, perm_np,
             interpret=interpret, window_r=window_r, q_bound=q_bound,
         )
@@ -348,9 +354,10 @@ def _subm_bwd(offsets, interpret, window_r, q_bound, res, gy):
         dx = _apply_overflow_any(
             dx, gy, w_t[perm_np], ov_src, ov_dst, ov_k, ov_valid, interpret
         )
-        dw = dw + _overflow_dw_any(
-            feats, gy, ov_src, ov_dst, ov_k, ov_valid, k, interpret
+        dw_m = dw_m + _overflow_dw_any(
+            feats, gy, ov_dst, ov_src, ov_k, ov_valid, k, interpret
         )
+        dw = dw_m[perm_np]
         return (dx, dw.astype(w.dtype)) + (None,) * 8
     # dX window pass: mirrored query columns, transposed weights.  Window
     # membership is NOT symmetric under mirroring: the mirrored pass covers
