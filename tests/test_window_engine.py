@@ -127,6 +127,40 @@ def test_subm_gradients_match_xla_fused_bwd():
     np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_r), rtol=1e-3, atol=1e-4)
 
 
+def test_subm_2d_multiplane_grads_fused_bwd():
+    """Fused backward on a 2D multiplane plan ([1, 3, 3] kernel over the
+    plane-axis grid) at fused-eligible channels."""
+    grid = (3, 32, 32)
+    rng = np.random.default_rng(11)
+    coords = np.full((2, 128, 3), -1, np.int32)
+    feats = np.zeros((2, 128, 16), np.float32)
+    for b in range(2):
+        pts = np.unique(
+            np.stack([rng.integers(0, g, 96) for g in grid], -1), axis=0
+        ).astype(np.int32)
+        coords[b, : len(pts)] = pts
+        feats[b, : len(pts)] = rng.standard_normal((len(pts), 16))
+    st = ops.build_sparse_tensor(jnp.asarray(coords), jnp.asarray(feats), grid)
+    w = jnp.asarray(rng.standard_normal((9, 16, 16)).astype(np.float32) * 0.3)
+    rb = ops.build_submanifold_rulebook(st, (1, 3, 3))
+    plan = build_submanifold_window_plan(st, (1, 3, 3), interpret=True)
+
+    def loss_ref(w, f):
+        return jnp.sum(ops.submanifold_conv(st.with_feats(f), rb, w).feats ** 2)
+
+    def loss_win(w, f):
+        return jnp.sum(
+            window_submanifold_conv(
+                st.with_feats(f), plan, w, interpret=True
+            ).feats ** 2
+        )
+
+    gw_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(w, st.feats)
+    gw_p, gf_p = jax.grad(loss_win, argnums=(0, 1))(w, st.feats)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_r), rtol=1e-3, atol=1e-4)
+
+
 def test_strided_grads_match_xla_fused_bwd():
     """Strided fused backward (window_conv.window_bwd_strided)."""
     st = make_st(seed=9, c=16)
