@@ -155,6 +155,53 @@ def check_subm_overflow(c, co, seed):
     print(f"subm fused bwd + overflow OK  C={c} CO={co} ({n_ov} ov pairs)")
 
 
+def check_strided_overflow(c, co, seed):
+    """Rev-plan overflow: children of a coarse line straddling a dense
+    coarse plane put one tile's parents > WINDOW_R apart."""
+    rng = np.random.default_rng(seed)
+    grid = (128, 40, 40)  # coarse grid (64, 20, 20) after stride 2
+    pts = [(32 * 2, 2 * y, 2 * z) for y in range(20) for z in range(20)]
+    pts += [(2 * cx + 1, 20, 20) for cx in range(64)]
+    pts = np.array(sorted(set(pts)), np.int32)
+    n = 512
+    m = len(pts)
+    coords = np.full((1, n, 3), -1, np.int32)
+    coords[0, :m] = pts
+    feats = np.zeros((1, n, c), np.float32)
+    feats[0, :m] = rng.integers(-3, 4, size=(m, c))
+    st = ops.build_sparse_tensor(jnp.asarray(coords), jnp.asarray(feats), grid)
+    stride = (2, 2, 2)
+    skeleton, rb = ops.build_downsample(st, stride)
+    fwd_plan, rev_plan = build_strided_window_plans(
+        st, skeleton, stride, overflow_cap=2048, interpret=True
+    )
+    n_ov = int(np.asarray(rev_plan.ov_valid).sum())
+    assert n_ov > 0, "geometry failed to force rev-plan overflow"
+    w = jnp.asarray(rng.integers(-2, 3, size=(8, c, co)).astype(np.float32))
+    n_out = skeleton.coords.shape[1]
+    gy = jnp.asarray(
+        rng.integers(-2, 3, size=(1, n_out, co)).astype(np.float32)
+    )
+
+    def loss_ref(w, f):
+        y = ops.strided_conv(st.with_feats(f), skeleton, rb, w).feats
+        return jnp.sum(y * gy)
+
+    def loss_win(w, f):
+        y = window_strided_conv(
+            st.with_feats(f), skeleton, fwd_plan, rev_plan, w,
+            interpret=True,
+        ).feats
+        return jnp.sum(y * gy)
+
+    gw_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(w, st.feats)
+    gw_p, gf_p = jax.grad(loss_win, argnums=(0, 1))(w, st.feats)
+    np.testing.assert_array_equal(np.asarray(gw_p), np.asarray(gw_r))
+    np.testing.assert_array_equal(np.asarray(gf_p), np.asarray(gf_r))
+    print(f"strided fused bwd + rev overflow OK  C={c} CO={co} "
+          f"({n_ov} rev ov pairs)")
+
+
 def main():
     check_subm(16, 16, seed=10)
     check_subm(32, 32, seed=11)
@@ -162,6 +209,7 @@ def main():
     check_subm_overflow(16, 32, seed=15)
     check_strided(16, 32, seed=13)
     check_strided(32, 64, seed=14)
+    check_strided_overflow(16, 32, seed=16)
     print("ALL FUSED BWD CHECKS PASSED")
 
 
