@@ -24,7 +24,7 @@ from sparseeventid_tpu.io.hostio import build_window_plans
 from sparseeventid_tpu.models.encoder import capacity_schedule
 from sparseeventid_tpu.ops import engine as _eng
 from sparseeventid_tpu.ops.host_plans import encoder_plans_from_host
-from sparseeventid_tpu.ops.pallas.window_conv import WINDOW_R, WINDOW_R_STRIDED
+from sparseeventid_tpu.ops.pallas.window_conv import WINDOW_R, WINDOW_R_INITIAL, WINDOW_R_STRIDED, window_r_for_level
 from sparseeventid_tpu.ops.pallas.window_engine import (
     window_strided_conv, window_submanifold_conv,
 )
@@ -82,6 +82,8 @@ def main():
         ov_cap_initial=_eng._overflow_cap(caps[0], 125),
         ov_caps_down=[_eng._overflow_cap(cc, 8) for cc in caps[:-1]],
         window_r_down=WINDOW_R_STRIDED,
+                window_r_initial=WINDOW_R_INITIAL,
+                window_r_series=[window_r_for_level(l) for l in range(len(caps))],
     )
     host = {k: jnp.asarray(v) for k, v in host.items()}
     st0 = ops.build_sparse_tensor(

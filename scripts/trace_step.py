@@ -32,7 +32,7 @@ from sparseeventid_tpu.models import build_sparse_classifier
 from sparseeventid_tpu.models.encoder import capacity_schedule
 from sparseeventid_tpu.ops import engine as _eng
 from sparseeventid_tpu.ops.host_plans import encoder_plans_from_host
-from sparseeventid_tpu.ops.pallas.window_conv import WINDOW_R, WINDOW_R_STRIDED
+from sparseeventid_tpu.ops.pallas.window_conv import WINDOW_R, WINDOW_R_INITIAL, WINDOW_R_STRIDED, window_r_for_level
 from sparseeventid_tpu.train import (
     build_lr_schedule,
     build_optimizer,
@@ -64,6 +64,8 @@ def main():
         ov_cap_initial=_eng._overflow_cap(caps[0], 125),
         ov_caps_down=[_eng._overflow_cap(c, 8) for c in caps[:-1]],
         window_r_down=WINDOW_R_STRIDED,
+                window_r_initial=WINDOW_R_INITIAL,
+                window_r_series=[window_r_for_level(l) for l in range(len(caps))],
     )
     host0 = {k: jnp.asarray(v) for k, v in host.items()}
     depth = cfg.encoder.depth

@@ -305,17 +305,21 @@ PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
   long ov_cap_initial;
   PyObject* ov_caps_down_obj; // per-level downsample overflow caps
   long window_r_down = 0;     // fwd downsample window (parent ~2x denser)
+  long window_r_initial = 0;  // initial 5^d window (spans ~half the series')
+  PyObject* wr_series_obj = nullptr;  // optional per-level series windows
   static const char* kwlist[] = {
       "coords", "grid", "caps", "initial_kernel", "series_kernel", "stride",
       "window_r", "ov_caps", "ov_cap_initial", "ov_caps_down",
-      "window_r_down", nullptr};
+      "window_r_down", "window_r_initial", "window_r_series", nullptr};
   if (!PyArg_ParseTupleAndKeywords(
-          args, kwargs, "OOOOOOlOlO|l", const_cast<char**>(kwlist),
+          args, kwargs, "OOOOOOlOlO|llO", const_cast<char**>(kwlist),
           &coords_obj, &grid_obj, &caps_obj, &init_k_obj, &ser_k_obj,
           &stride_obj, &window_r, &ov_caps_obj, &ov_cap_initial,
-          &ov_caps_down_obj, &window_r_down))
+          &ov_caps_down_obj, &window_r_down, &window_r_initial,
+          &wr_series_obj))
     return nullptr;
   if (window_r_down <= 0) window_r_down = window_r;
+  if (window_r_initial <= 0) window_r_initial = window_r;
 
   PyArrayObject* coords = (PyArrayObject*)PyArray_FROM_OTF(
       coords_obj, NPY_INT32, NPY_ARRAY_C_CONTIGUOUS | NPY_ARRAY_ALIGNED);
@@ -373,14 +377,26 @@ PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
     return nullptr;
   }
   std::vector<PlanShape> series_ps(depth + 1), down_ps(std::max(depth, 1L));
-  for (long l = 0; l <= depth; ++l)
-    series_ps[size_t(l)] = {window_r,
+  for (long l = 0; l <= depth; ++l) {
+    long wr = window_r;
+    if (wr_series_obj && wr_series_obj != Py_None) {
+      PyObject* item = PySequence_GetItem(wr_series_obj, l);
+      if (!item) {
+        Py_DECREF(coords);
+        return nullptr;
+      }
+      wr = PyLong_AsLong(item);
+      Py_DECREF(item);
+      if (wr <= 0) wr = window_r;
+    }
+    series_ps[size_t(l)] = {wr,
                             PyLong_AsLong(PySequence_GetItem(ov_caps_obj, l))};
+  }
   for (long l = 0; l < depth; ++l)
     down_ps[size_t(l)] = {
         window_r_down,
         PyLong_AsLong(PySequence_GetItem(ov_caps_down_obj, l))};
-  PlanShape initial_ps = {window_r, ov_cap_initial};
+  PlanShape initial_ps = {window_r_initial, ov_cap_initial};
 
   std::vector<EventPlans> evs(static_cast<size_t>(b));
   const int32_t* cdata = (const int32_t*)PyArray_DATA(coords);

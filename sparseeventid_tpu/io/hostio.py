@@ -62,6 +62,8 @@ def build_window_plans(
     ov_cap_initial: int,
     ov_caps_down: Sequence[int],
     window_r_down: int = 0,
+    window_r_initial: int = 0,
+    window_r_series: Sequence[int] | None = None,
 ) -> dict:
     """Threaded host-side site-pyramid + window-plan construction.
 
@@ -93,6 +95,12 @@ def build_window_plans(
         int(ov_cap_initial),
         [int(c) for c in ov_caps_down],
         int(window_r_down),
+        int(window_r_initial),
+        (
+            None
+            if window_r_series is None
+            else [int(r) for r in window_r_series]
+        ),
     )
 
 

@@ -35,6 +35,7 @@ from ..ops.engine import (
     build_series_plan,
     plan_overflow_dropped,
 )
+from ..ops.pallas.window_conv import WINDOW_R_INITIAL, window_r_for_level
 from .blocks import (
     ConvolutionDownsample,
     PoolingDownsample,
@@ -129,6 +130,7 @@ class Encoder(nn.Module):
             rb = build_series_plan(
                 st, self._kernel(5, 0), backend=self.backend,
                 q_bound_frac=self._qb_frac(0),
+                window_r=WINDOW_R_INITIAL,
             )
         self._sow_overflow(rb)
         w0 = self.param(
@@ -159,6 +161,7 @@ class Encoder(nn.Module):
                 rb = build_series_plan(
                     st, self._kernel(p.filter_size, i), backend=self.backend,
                     q_bound_frac=self._qb_frac(i),
+                    window_r=window_r_for_level(i),
                 )
             self._sow_overflow(rb)
             st = series_cls(
@@ -190,6 +193,7 @@ class Encoder(nn.Module):
             rb = build_series_plan(
                 st, self._kernel(p.filter_size, p.depth), backend=self.backend,
                 q_bound_frac=self._qb_frac(p.depth),
+                window_r=window_r_for_level(p.depth),
             )
         self._sow_overflow(rb)
         st = series_cls(

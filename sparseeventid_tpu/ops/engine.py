@@ -64,13 +64,19 @@ def _overflow_cap(capacity: int, k: int = 27) -> int:
     block escaped the plan window, a per-(tile, offset) tail — a 5^3 kernel
     (K=125) produces ~5x the candidates of a 3^3 one (K=27).  Measured on
     dune3d-shaped tracks (scripts/check_window_tpu.py): K=27 fits in
-    capacity//16; K=125 overflowed a 1562 cap by ~2.4x."""
+    capacity//16; K=125 overflowed a 1562 cap by ~2.4x.
+
+    capacity//8 (not //16): the sidecar fori_loops are bounded by the
+    DYNAMIC entry count (window_conv._ov_bound), so cap headroom is free at
+    runtime — and the extra margin is what lets WINDOW_R drop to one MXU
+    pass per offset (R=128) with out-of-window pairs spilling here."""
     scale = max(1, -(-k // 27))
-    return max(256, min(12288, (capacity // 16) * scale))
+    return max(256, min(12288, (capacity // 8) * scale))
 
 
 def build_series_plan(st: SparseTensor, kernel_size, backend: str = XLA,
-                      q_bound_frac: float = 1.0):
+                      q_bound_frac: float = 1.0,
+                      window_r: int | None = None):
     if backend == WINDOW:
         k = 1
         for ks in kernel_size:
@@ -79,6 +85,7 @@ def build_series_plan(st: SparseTensor, kernel_size, backend: str = XLA,
             st, kernel_size, overflow_cap=_overflow_cap(st.capacity, k),
             interpret=_interpret(),
             q_bound=query_bound(st.capacity, q_bound_frac),
+            window_r=window_r,
         )
     return build_submanifold_rulebook(st, kernel_size)
 

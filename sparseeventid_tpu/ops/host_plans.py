@@ -22,8 +22,10 @@ import numpy as np
 from .pallas.window_conv import (
     INVALID_QUERY,
     WINDOW_R,
+    WINDOW_R_INITIAL,
     WINDOW_R_STRIDED,
     compute_query_keys,
+    window_r_for_level,
 )
 from .pallas.window_engine import WindowPlan
 from .engine import query_bound
@@ -154,6 +156,7 @@ def encoder_plans_from_host(
     initial = _plan_from_host(
         host, "initial",
         compute_query_keys(st0, i_offs), st0.n_active, i_offs,
+        window_r=WINDOW_R_INITIAL,
         q_bound_frac=frac(0),
     )
     series = tuple(
@@ -161,6 +164,7 @@ def encoder_plans_from_host(
             host, f"lvl{l}/series",
             compute_query_keys(levels[l], s_offs_l[l]),
             levels[l].n_active, s_offs_l[l],
+            window_r=window_r_for_level(l),
             q_bound_frac=frac(l),
         )
         for l in range(depth + 1)

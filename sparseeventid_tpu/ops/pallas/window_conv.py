@@ -59,6 +59,25 @@ ANCHOR_A = 128
 # the conv kernels must agree on it.
 WINDOW_R = int(_os.environ.get("SEID_WINDOW_R", "176"))
 WINDOW_R_STRIDED = int(_os.environ.get("SEID_WINDOW_R_STRIDED", "320"))
+# Initial 5^d conv: per-tile match spans are ~half the series conv's
+# (scripts/window_r_analysis.py: p50=55 vs 90-122) and the compare/select
+# cost is linear in K*R with K=125 — a smaller window pays off 5x there.
+WINDOW_R_INITIAL = int(
+    _os.environ.get("SEID_WINDOW_R_INITIAL", str(WINDOW_R))
+)
+# Per-level series windows: the MXU one-hot dot is PASS-quantized
+# (ceil(R/128) passes per offset), so R=128 halves the dominant dot at the
+# shallow levels.  Deep levels can't follow: their sidecar caps (capacity//8)
+# sit below the out-of-window pair counts at R=128 (scripts/ov_occupancy.py:
+# L2+ drop pairs), and the serial sidecar loop would eat the savings — they
+# keep the default R.  SEID_WINDOW_R_DEEP / _DEEP_FROM tune the split.
+WINDOW_R_DEEP = int(_os.environ.get("SEID_WINDOW_R_DEEP", str(WINDOW_R)))
+WINDOW_R_DEEP_FROM = int(_os.environ.get("SEID_WINDOW_R_DEEP_FROM", "2"))
+
+
+def window_r_for_level(level: int) -> int:
+    """Series-conv window size for an encoder level."""
+    return WINDOW_R if level < WINDOW_R_DEEP_FROM else WINDOW_R_DEEP
 # strided fwd: parent table is ~2x denser than the child queries, so
 # per-tile spans approach 2*T
 PLAN_R = 384
@@ -1159,7 +1178,24 @@ def _row_load2(ref, idx, width):
     return jnp.sum(jnp.where(sel, blk, 0.0), axis=0, keepdims=True)
 
 
+def _ov_bound(valid: jax.Array) -> jax.Array:
+    """i32[B] — last-valid-index + 1 per batch element.
+
+    The sidecar fori_loops are bounded by this DYNAMIC count instead of the
+    static cap, so raising caps (exactness headroom for smaller WINDOW_R)
+    costs nothing at runtime when the actual overflow stays small.  The
+    host-built lists are prefix-compacted; the device fallback
+    (_compact_overflow) can leave invalid holes mid-prefix (uncovered
+    candidates with no table match), hence last-index+1 rather than a
+    popcount — the per-entry valid guard inside the kernels still applies."""
+    v = valid.astype(jnp.int32)
+    s = v.shape[1]
+    last = s - jnp.argmax(v[:, ::-1], axis=1)
+    return jnp.where(jnp.any(v != 0, axis=1), last, 0).astype(jnp.int32)
+
+
 def _ov_apply_kernel(
+    n_ref,  # SMEM i32[B, 1] dynamic pair-list bound per batch element
     src_ref,  # SMEM i32[1, 1, S] (this batch element's pair list)
     dst_ref,  # SMEM i32[1, 1, S]
     kk_ref,  # SMEM i32[1, 1, S]
@@ -1199,7 +1235,8 @@ def _ov_apply_kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, s_cap, body, 0)
+    n = jnp.minimum(n_ref[pl.program_id(0), 0], s_cap)
+    jax.lax.fori_loop(0, n, body, 0)
 
 
 def overflow_apply(
@@ -1223,10 +1260,13 @@ def overflow_apply(
     kern = functools.partial(_ov_apply_kernel, s_cap=s_cap, c=c)
     sspec = pl.BlockSpec((1, 1, s_cap), lambda bb: (bb, 0, 0),
                          memory_space=pltpu.SMEM)
+    nb = _ov_bound(valid)[:, None]
     return pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[
+            pl.BlockSpec(nb.shape, lambda bb: (0, 0),
+                         memory_space=pltpu.SMEM),
             sspec,
             sspec,
             sspec,
@@ -1244,11 +1284,12 @@ def overflow_apply(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(src[:, None], dst[:, None], kk[:, None],
+    )(nb, src[:, None], dst[:, None], kk[:, None],
       valid.astype(jnp.int32)[:, None], base, pt, w2)
 
 
 def _ov_dw_kernel(
+    n_ref,  # SMEM i32[B, 1] dynamic pair-list bound
     src_ref, dst_ref, kk_ref, valid_ref,  # SMEM i32[1, 1, S]
     x_ref,  # [1, Npad, C] VMEM
     gy_ref,  # [1, Mpad, CO] VMEM
@@ -1292,7 +1333,8 @@ def _ov_dw_kernel(
 
         return 0
 
-    jax.lax.fori_loop(0, s_cap, body, 0)
+    n = jnp.minimum(n_ref[pl.program_id(0), 0], s_cap)
+    jax.lax.fori_loop(0, n, body, 0)
 
 
 def overflow_dw(
@@ -1314,10 +1356,13 @@ def overflow_dw(
     kern = functools.partial(_ov_dw_kernel, s_cap=s_cap, c=c)
     sspec = pl.BlockSpec((1, 1, s_cap), lambda bb: (bb, 0, 0),
                          memory_space=pltpu.SMEM)
+    nb = _ov_bound(valid)[:, None]
     dw = pl.pallas_call(
         kern,
         grid=(b,),
         in_specs=[
+            pl.BlockSpec(nb.shape, lambda bb: (0, 0),
+                         memory_space=pltpu.SMEM),
             sspec,
             sspec,
             sspec,
@@ -1333,6 +1378,6 @@ def overflow_dw(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(src[:, None], dst[:, None], kk[:, None],
+    )(nb, src[:, None], dst[:, None], kk[:, None],
       valid.astype(jnp.int32)[:, None], xp, gp)
     return dw[: k * c].reshape(k, c, co)

@@ -119,19 +119,23 @@ def build_submanifold_window_plan(
     overflow_cap: int = 2048,
     interpret: bool = False,
     q_bound: int | None = None,
+    window_r: int | None = None,
 ) -> WindowPlan:
     """Plan for a submanifold conv (output sites == input sites)."""
+    if window_r is None:
+        window_r = WINDOW_R
     offs = kernel_offsets(kernel_size, centered=True)
     qkeys = compute_query_keys(st, offs)
     keys = st.keys()
     pk, _ = _padded_table(keys, st.feats[..., :1])
-    start, uncov = window_plan(pk, qkeys, st.n_active, interpret=interpret)
+    start, uncov = window_plan(pk, qkeys, st.n_active, interpret=interpret,
+                               window_r=window_r)
     src, dst, kk, valid, dropped = _compact_overflow(
         keys, qkeys, uncov, overflow_cap
     )
     return WindowPlan(
         qkeys, start, st.n_active, src, dst, kk, valid, dropped,
-        offsets=tuple(map(tuple, offs.tolist())), window_r=WINDOW_R,
+        offsets=tuple(map(tuple, offs.tolist())), window_r=window_r,
         q_bound=q_bound,
     )
 

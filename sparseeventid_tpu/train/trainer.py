@@ -254,7 +254,12 @@ class Trainer:
 
     def _plan_geometry(self):
         from ..ops import engine as _eng
-        from ..ops.pallas.window_conv import WINDOW_R, WINDOW_R_STRIDED
+        from ..ops.pallas.window_conv import (
+            WINDOW_R,
+            WINDOW_R_INITIAL,
+            WINDOW_R_STRIDED,
+            window_r_for_level,
+        )
 
         caps = self._capacities()
         ik, sks, stride = self._plan_kernels()
@@ -274,6 +279,8 @@ class Trainer:
             ov_cap_initial=_eng._overflow_cap(caps[0], k_i),
             ov_caps_down=[_eng._overflow_cap(c, k_d) for c in caps[:-1]],
             window_r_down=WINDOW_R_STRIDED,
+            window_r_initial=WINDOW_R_INITIAL,
+            window_r_series=[window_r_for_level(l) for l in range(len(caps))],
         )
 
     def _compute_host_plans(self, image: np.ndarray):
