@@ -60,11 +60,11 @@ ANCHOR_A = 128
 WINDOW_R = int(_os.environ.get("SEID_WINDOW_R", "176"))
 WINDOW_R_STRIDED = int(_os.environ.get("SEID_WINDOW_R_STRIDED", "320"))
 # Initial 5^d conv: per-tile match spans are ~half the series conv's
-# (scripts/window_r_analysis.py: p50=55 vs 90-122) and the compare/select
-# cost is linear in K*R with K=125 — a smaller window pays off 5x there.
-WINDOW_R_INITIAL = int(
-    _os.environ.get("SEID_WINDOW_R_INITIAL", str(WINDOW_R))
-)
+# (scripts/window_r_analysis.py: p50=55 vs 90-122) and the C=1 path's
+# compare/select cost is linear in K*R with K=125 — a smaller window pays
+# off 5x there.  R=144 measured -4 ms/step vs 176 with sidecar occupancy
+# 520/12288 (scripts/ov_occupancy.py) — exactness-safe with 20x margin.
+WINDOW_R_INITIAL = int(_os.environ.get("SEID_WINDOW_R_INITIAL", "144"))
 # Per-level series windows: the MXU one-hot dot is PASS-quantized
 # (ceil(R/128) passes per offset), so R=128 halves the dominant dot at the
 # shallow levels.  Deep levels can't follow: their sidecar caps (capacity//8)
