@@ -73,7 +73,7 @@ def main():
     host = build_window_plans(
         raw_coords, GRID, caps,
         initial_kernel=(5, 5, 5), series_kernel=(3, 3, 3), stride=(2, 2, 2),
-        window_r=176,
+        window_r=176, window_r_initial=176,
         ov_caps=[engine._overflow_cap(cc, 27) for cc in caps],
         ov_cap_initial=engine._overflow_cap(caps[0], 125),
         ov_caps_down=[engine._overflow_cap(cc, 8) for cc in caps[:-1]],
@@ -85,7 +85,9 @@ def main():
 
     plans = jax.jit(
         lambda s, h: encoder_plans_from_host(
-            s, h, DEPTH, (5, 5, 5), (3, 3, 3), (2, 2, 2)
+            s, h, DEPTH, (5, 5, 5), (3, 3, 3), (2, 2, 2),
+            window_r_initial=176, window_r_series=[176] * (DEPTH + 1),
+            window_r_down=320, window_r_rev=176,
         )
     )(st, host_j)
 

@@ -92,7 +92,9 @@ def main():
     host_j = {k: jnp.asarray(v) for k, v in host.items()}
     plans = jax.jit(
         lambda s, h: encoder_plans_from_host(
-            s, h, DEPTH, INITIAL_KERNEL, SERIES_KERNELS, STRIDE
+            s, h, DEPTH, INITIAL_KERNEL, SERIES_KERNELS, STRIDE,
+            window_r_initial=176, window_r_series=[176] * (DEPTH + 1),
+            window_r_down=320, window_r_rev=176,
         )
     )(st, host_j)
 

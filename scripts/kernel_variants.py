@@ -86,9 +86,12 @@ def main():
         window_r_down=wc.WINDOW_R_STRIDED,
     )
     host = {k: jnp.asarray(v) for k, v in host.items()}
+    from sparseeventid_tpu.models.encoder import GRID_QUANTUM, _round_up
+
     st0 = ops.build_sparse_tensor(
         jnp.asarray(coords), jnp.ones((B, MAX_VOXELS, 1), jnp.bfloat16),
         GRID,
+        capacity=_round_up(MAX_VOXELS, GRID_QUANTUM),
     )
     plans = jax.jit(functools.partial(
         encoder_plans_from_host, depth=depth, initial_kernel=(5, 5, 5),

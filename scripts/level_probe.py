@@ -86,9 +86,12 @@ def main():
                 window_r_series=[window_r_for_level(l) for l in range(len(caps))],
     )
     host = {k: jnp.asarray(v) for k, v in host.items()}
+    from sparseeventid_tpu.models.encoder import GRID_QUANTUM, _round_up
+
     st0 = ops.build_sparse_tensor(
         jnp.asarray(coords),
         jnp.ones((B, MAX_VOXELS, 1), jnp.bfloat16), GRID,
+        capacity=_round_up(MAX_VOXELS, GRID_QUANTUM),
     )
     qb = float(os.environ.get("PROBE_QBOUND", "0"))
     plans = jax.jit(functools.partial(

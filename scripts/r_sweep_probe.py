@@ -30,7 +30,7 @@ from sparseeventid_tpu.ops.pallas.window_conv import WINDOW_R_STRIDED
 B, CAP, C = 8, 50000, 32
 GRID = (1024, 512, 1280)
 DEPTH = 5
-QB = 25088  # bench q_bound at frac 0.5
+QB = (int(os.environ["SEID_PROBE_QB"]) if os.environ.get("SEID_PROBE_QB") else None)  # None = frac 1.0 (full grid, like the train step)
 
 
 def make_input():

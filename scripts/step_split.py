@@ -56,7 +56,9 @@ def make_batch():
         k = min(len(c), MAX_VOXELS)
         coords[b, :k] = c[:k]
         feats[b, :k, 0] = r.standard_normal(k)
-    st = ops.build_sparse_tensor(jnp.asarray(coords), jnp.asarray(feats), GRID)
+    from sparseeventid_tpu.models.encoder import GRID_QUANTUM, _round_up
+    st = ops.build_sparse_tensor(jnp.asarray(coords), jnp.asarray(feats), GRID,
+                                 capacity=_round_up(MAX_VOXELS, GRID_QUANTUM))
     st = st.with_feats(st.feats.astype(jnp.bfloat16))
     labels = {
         k: jnp.asarray(r.integers(0, v, BATCH).astype(np.int32))

@@ -376,3 +376,13 @@ def image_size(cfg: SparseEventIDConfig) -> Tuple[int, ...]:
         # 2D multiplane synthetic: plane axis first (resnet.py:26-36 trick)
         return (3, 64, 64)
     return tuple(DETECTOR_META[cfg.data.detector]["image_size"])
+
+
+def sparse_capacity(cfg: SparseEventIDConfig) -> int:
+    """Level-0 sparse row capacity: MaxVoxels, times the plane count for 2D
+    multiplane data (the plane-axis SparseTensor concatenates all planes —
+    data_transforms.py:198-252 packs [planes, MaxVoxels] per event)."""
+    n = cfg.data.max_voxels
+    if cfg.data.dimension == 2:
+        n *= image_size(cfg)[0]
+    return n

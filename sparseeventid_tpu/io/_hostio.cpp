@@ -371,9 +371,11 @@ PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
   std::vector<long> caps(depth + 1);
   for (long l = 0; l <= depth; ++l)
     caps[size_t(l)] = PyLong_AsLong(PySequence_GetItem(caps_obj, l));
-  if (caps[0] != cap0) {
+  // caps[0] is the LAYOUT capacity (GRID_QUANTUM-aligned on the Python
+  // side); the coords array may carry fewer rows — extra rows are padding.
+  if (caps[0] < cap0) {
     Py_DECREF(coords);
-    PyErr_SetString(PyExc_ValueError, "caps[0] must equal coords.shape[1]");
+    PyErr_SetString(PyExc_ValueError, "caps[0] must be >= coords.shape[1]");
     return nullptr;
   }
   std::vector<PlanShape> series_ps(depth + 1), down_ps(std::max(depth, 1L));

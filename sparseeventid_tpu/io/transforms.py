@@ -17,7 +17,8 @@ from ..ops import SparseTensor, build_sparse_tensor
 
 
 def larcv_batch_to_sparse_3d(
-    image: np.ndarray, image_size: Tuple[int, ...]
+    image: np.ndarray, image_size: Tuple[int, ...],
+    capacity: int | None = None,
 ) -> SparseTensor:
     """[B, MaxVoxels, D+1] padded with -999 -> SparseTensor.
 
@@ -31,12 +32,14 @@ def larcv_batch_to_sparse_3d(
     coords_i = np.where(valid[..., None], coords, -1).astype(np.int32)
     feats = np.where(valid[..., None], vals, 0).astype(np.float32)
     return build_sparse_tensor(
-        jnp.asarray(coords_i), jnp.asarray(feats), tuple(image_size)
+        jnp.asarray(coords_i), jnp.asarray(feats), tuple(image_size),
+        capacity=capacity,
     )
 
 
 def larcv_batch_to_sparse_2d(
-    image: np.ndarray, image_size: Tuple[int, ...]
+    image: np.ndarray, image_size: Tuple[int, ...],
+    capacity: int | None = None,
 ) -> SparseTensor:
     """[B, planes, MaxVoxels, 3] (x, y, val) -> plane-axis 3D SparseTensor.
 
@@ -70,7 +73,8 @@ def larcv_batch_to_sparse_2d(
     feats = np.where(valid[..., None], vals, 0).astype(np.float32)
     feats = feats.reshape(b, planes * n, 1)
     return build_sparse_tensor(
-        jnp.asarray(coords3), jnp.asarray(feats), tuple(image_size)
+        jnp.asarray(coords3), jnp.asarray(feats), tuple(image_size),
+        capacity=capacity,
     )
 
 

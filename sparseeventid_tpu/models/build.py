@@ -100,8 +100,10 @@ def build_sparse_classifier(
     enc = cfg.encoder
     if not isinstance(enc, ConvRepresentation):
         raise TypeError("sparse classifier requires encoder=convnet")
+    from ..config.schema import sparse_capacity
+
     caps = capacity_schedule(
-        cfg.data.max_voxels,
+        sparse_capacity(cfg),
         enc.depth,
         cfg.framework.capacity_shrink,
         cfg.framework.min_capacity,

@@ -48,18 +48,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Window-kernel grid quantum: TILE_T (128) query rows per tile, up to
+# TILES_PER_STEP (4) tiles per grid step (ops/pallas/window_conv.py).
+# Capacities that are multiples of this make every [B, cap, *] tensor land
+# exactly on the kernels' padded query/output shapes — the per-conv qkeys
+# pad (an 86 MB HBM round-trip at dune3d scale) and output slice vanish.
+GRID_QUANTUM = 512
+
+
 def capacity_schedule(
     n0: int, depth: int, shrink: float, min_capacity: int
 ) -> Tuple[int, ...]:
     """Static per-level COO capacities. Sparse track-like events lose roughly
     half their active voxels per 2x downsample; capping capacity per level
     keeps every gather/GEMM small at deep levels (the reference has no
-    analog — scn reallocates dynamically, which XLA cannot)."""
-    caps = [n0]
+    analog — scn reallocates dynamically, which XLA cannot).  All values are
+    GRID_QUANTUM multiples (see above)."""
+    caps = [_round_up(n0, GRID_QUANTUM)]
     c = n0
     for _ in range(depth):
-        c = max(min_capacity, _round_up(int(c * shrink), 8))
-        caps.append(min(c, caps[-1]))
+        c = max(min_capacity, int(c * shrink))
+        caps.append(min(_round_up(c, GRID_QUANTUM), caps[-1]))
     return tuple(caps)
 
 

@@ -118,13 +118,49 @@ def encoder_plans_from_host(
     stride,
     q_bound_frac: float = 1.0,
     q_bound_growth: float = 1.6,
+    window_r_initial: int | None = None,
+    window_r_series=None,
+    window_r_down: int | None = None,
+    window_r_rev: int | None = None,
 ) -> EncoderPlans:
     """Assemble EncoderPlans from the host plan dict (jit-traceable).
 
     ``st0`` must be the level-0 SparseTensor built from the same batch the
     plans were computed for (build_sparse_tensor's ascending-key sort matches
     the host's — keys are unique, so the orders agree row for row).
+
+    The window_r_* arguments MUST match what build_window_plans was given —
+    the kernels slice windows of plan.window_r rows at the host-computed
+    starts, so a mismatch silently drops in-window pairs.  Defaults are the
+    module constants (what the production trainer passes to the builder);
+    scripts that override the builder's sizes must override them here too.
     """
+    if window_r_initial is None:
+        window_r_initial = WINDOW_R_INITIAL
+    if window_r_series is None:
+        window_r_series = [window_r_for_level(l) for l in range(depth + 1)]
+    if window_r_down is None:
+        window_r_down = WINDOW_R_STRIDED
+    if window_r_rev is None:
+        window_r_rev = WINDOW_R
+    # Layout-consistency guard: the host built starts for cdiv(caps[0], T)
+    # query tiles and clamped them against ITS table length (a function of
+    # caps[0]).  A SparseTensor at a different capacity would stage windows
+    # past its own table — build it with capacity=caps[0]
+    # (ops.build_sparse_tensor) so both sides agree.
+    from .pallas.window_conv import TILE_T, _cdiv
+
+    host_tiles = host["lvl0/series/start"].shape[1]
+    st_tiles = _cdiv(st0.capacity, TILE_T)
+    if host_tiles != st_tiles:
+        raise ValueError(
+            f"host plans were built for {host_tiles} level-0 query tiles but "
+            f"st0 has capacity {st0.capacity} ({st_tiles} tiles); build the "
+            f"input SparseTensor with capacity={host_tiles * TILE_T} "
+            "(= the GRID_QUANTUM-aligned caps[0] passed to "
+            "build_window_plans)"
+        )
+
     def frac(l):
         return min(1.0, q_bound_frac * q_bound_growth**l)
 
@@ -156,7 +192,7 @@ def encoder_plans_from_host(
     initial = _plan_from_host(
         host, "initial",
         compute_query_keys(st0, i_offs), st0.n_active, i_offs,
-        window_r=WINDOW_R_INITIAL,
+        window_r=window_r_initial,
         q_bound_frac=frac(0),
     )
     series = tuple(
@@ -164,7 +200,7 @@ def encoder_plans_from_host(
             host, f"lvl{l}/series",
             compute_query_keys(levels[l], s_offs_l[l]),
             levels[l].n_active, s_offs_l[l],
-            window_r=window_r_for_level(l),
+            window_r=window_r_series[l],
             q_bound_frac=frac(l),
         )
         for l in range(depth + 1)
@@ -175,13 +211,14 @@ def encoder_plans_from_host(
                 host, f"lvl{l}/down_f",
                 _strided_qkeys(levels[l + 1], levels[l], stride, d_offs),
                 levels[l + 1].n_active, d_offs,
-                window_r=WINDOW_R_STRIDED,
+                window_r=window_r_down,
                 q_bound_frac=frac(l + 1),
             ),
             _plan_from_host(
                 host, f"lvl{l}/down_r",
                 _reverse_qkeys(levels[l], levels[l + 1], stride, kd),
                 levels[l].n_active, d_offs,
+                window_r=window_r_rev,
                 q_bound_frac=frac(l),
             ),
         )

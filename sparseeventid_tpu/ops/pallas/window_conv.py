@@ -57,7 +57,11 @@ ANCHOR_A = 128
 # out-of-window pairs).  Smaller R trades sidecar load for kernel time —
 # the R sweep is env-tunable because plan build (host C++ or device) and
 # the conv kernels must agree on it.
-WINDOW_R = int(_os.environ.get("SEID_WINDOW_R", "176"))
+# R=160: -8 ms/step vs 176 (326.9 vs 335.2 measured), sidecar occupancy
+# <=65% of cap at every level (scripts/ov_occupancy.py 160 144 160: SAFE).
+# The kernel is only ~25% R-linear — most of its time is per-tile fixed
+# cost — so shrinking R further buys little and inflates the sidecars.
+WINDOW_R = int(_os.environ.get("SEID_WINDOW_R", "160"))
 WINDOW_R_STRIDED = int(_os.environ.get("SEID_WINDOW_R_STRIDED", "320"))
 # Initial 5^d conv: per-tile match spans are ~half the series conv's
 # (scripts/window_r_analysis.py: p50=55 vs 90-122) and the C=1 path's

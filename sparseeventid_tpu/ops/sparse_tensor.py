@@ -122,6 +122,7 @@ def build_sparse_tensor(
     feats: jax.Array,
     grid_shape: Tuple[int, ...],
     valid: jax.Array | None = None,
+    capacity: int | None = None,
 ) -> SparseTensor:
     """Construct a :class:`SparseTensor` from unsorted batched COO data.
 
@@ -131,11 +132,22 @@ def build_sparse_tensor(
         /root/reference/src/io/data_transforms.py:28 ``!= -999`` test).
       feats:  [B, N, C] features (any value at padding rows; zeroed here).
       valid:  optional bool[B, N] overriding the coords<0 padding detection.
+      capacity: optional row capacity >= N to pad to — level-0 capacities
+        are GRID_QUANTUM-aligned (models/encoder.py) so the window kernels
+        see exactly-shaped query/table arrays; padding ONCE here replaces a
+        pad per conv downstream.
 
     Sorts rows per batch element by linear key, packs padding last, dedups
     nothing (input sites are assumed unique, as larcv guarantees).
     """
     coords = coords.astype(jnp.int32)
+    if capacity is not None and capacity > coords.shape[1]:
+        extra = capacity - coords.shape[1]
+        pad3 = ((0, 0), (0, extra), (0, 0))
+        coords = jnp.pad(coords, pad3, constant_values=-1)
+        feats = jnp.pad(feats, pad3)
+        if valid is not None:
+            valid = jnp.pad(valid, ((0, 0), (0, extra)))
     key = linearize(coords, grid_shape)
     if valid is not None:
         key = jnp.where(valid, key, INVALID_KEY)

@@ -189,10 +189,13 @@ class Trainer:
             return jnp.asarray(
                 larcv_batch_to_dense(image, self.image_shape), self._batch_dtype
             )
+        cap0 = self._capacities()[0]
         if self.cfg.data.dimension == 2:
-            x = larcv_batch_to_sparse_2d(image, self.image_shape)
+            x = larcv_batch_to_sparse_2d(image, self.image_shape,
+                                         capacity=cap0)
         else:
-            x = larcv_batch_to_sparse_3d(image, self.image_shape)
+            x = larcv_batch_to_sparse_3d(image, self.image_shape,
+                                         capacity=cap0)
         if self._batch_dtype != jnp.float32:
             x = x.with_feats(x.feats.astype(self._batch_dtype))
         return x
@@ -286,7 +289,32 @@ class Trainer:
     def _compute_host_plans(self, image: np.ndarray):
         from ..io.hostio import build_window_plans
 
-        coords = np.asarray(image[..., :3], np.int32)  # -999 pad -> negative
+        if self.cfg.data.dimension == 2:
+            # [B, P, N, (x, y, val)] -> flattened plane-axis (plane, y, x)
+            # coords, the exact mapping of larcv_batch_to_sparse_2d (the
+            # -999/out-of-grid rows become -1 = absent).
+            b, planes, n, _ = image.shape
+            xy = image[..., :2]
+            valid = np.all(xy != -999.0, axis=-1) & (image[..., 2] != -999.0)
+            h, w = int(self.image_shape[1]), int(self.image_shape[2])
+            yx = xy[..., ::-1]
+            valid &= (
+                (yx[..., 0] >= 0) & (yx[..., 0] < h)
+                & (yx[..., 1] >= 0) & (yx[..., 1] < w)
+            )
+            plane_idx = np.broadcast_to(
+                np.arange(planes, dtype=np.int32)[None, :, None],
+                (b, planes, n),
+            )
+            coords = np.concatenate(
+                [plane_idx[..., None], yx.astype(np.int32)], axis=-1
+            )
+            coords = np.where(valid[..., None], coords, -1)
+            coords = np.ascontiguousarray(
+                coords.reshape(b, planes * n, 3), np.int32
+            )
+        else:
+            coords = np.asarray(image[..., :3], np.int32)  # -999 -> negative
         return build_window_plans(coords, **self._plan_geometry())
 
     def _host_plans(self, batch: Dict):
@@ -383,11 +411,12 @@ class Trainer:
         return self._restore(state)
 
     def _capacities(self) -> Tuple[int, ...]:
+        from ..config.schema import sparse_capacity
         from ..models.encoder import capacity_schedule
 
         cfg = self.cfg
         return capacity_schedule(
-            cfg.data.max_voxels,
+            sparse_capacity(cfg),
             cfg.encoder.depth,
             cfg.framework.capacity_shrink,
             cfg.framework.min_capacity,

@@ -59,7 +59,10 @@ def test_forward_shapes_and_finiteness():
 
 def test_capacity_schedule_monotone():
     caps = capacity_schedule(50000, 5, 0.5, 1024)
-    assert caps[0] == 50000
+    # grid-quantum aligned (512 = TILE_T * TILES_PER_STEP) so the window
+    # kernels' padded query/output shapes match the arrays exactly
+    assert caps[0] == 50176 and caps[0] % 512 == 0
+    assert all(c % 512 == 0 for c in caps)
     assert all(a >= b for a, b in zip(caps, caps[1:]))
     assert caps[-1] >= 1024
 
