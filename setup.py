@@ -17,6 +17,7 @@ setup(
         Extension(
             "sparseeventid_tpu.io._hostio",
             sources=["sparseeventid_tpu/io/_hostio.cpp"],
+            depends=["sparseeventid_tpu/io/_hostio_core.h"],
             include_dirs=[numpy.get_include()],
             extra_compile_args=["-O3", "-std=c++17", "-pthread"],
             language="c++",

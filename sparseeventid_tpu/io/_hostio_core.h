@@ -38,12 +38,25 @@ struct SidecarOut {
 
 // One plan: queries = q_coords rows (+offsets), table = `table` level.
 // Writes start[tiles*K] and appends overflow pairs.
+// Largest window start the CONV kernel may use: its table array is the
+// level's [B, cap, C] tensor itself (16-rounded when cap isn't aligned),
+// NOT the plan-staging npad — windows must satisfy start + r <= that
+// length.  Clamping left preserves exactness: matches sit at positions
+// < n_active <= cap, so a left-shifted window still covers them, and the
+// in-window test below runs AFTER the clamp.
+inline long conv_max_start(long table_cap, long window_r) {
+  auto r16 = [](long x) { return (x + 15) / 16 * 16; };
+  long len = std::max(r16(table_cap), r16(window_r));
+  return len - window_r;
+}
+
 void build_plan_one(const LevelData& table, const int64_t* grid,
                     const int32_t* q_coords, long n_q, long q_cap,
                     const long* offs, long k, const long* scale,
                     long npad, const PlanShape& ps, int32_t* start_out,
-                    SidecarOut* sc) {
+                    SidecarOut* sc, long table_cap) {
   const long n_tiles = (q_cap + kTileT - 1) / kTileT;
+  const long max_start = conv_max_start(table_cap, ps.window_r);
   const int64_t n_tab = int64_t(table.keys.size());
   const int64_t g1 = grid[1], g2 = grid[2];
   std::vector<int64_t> match_pos(n_q);
@@ -85,7 +98,7 @@ void build_plan_one(const LevelData& table, const int64_t* grid,
       long st = 0;
       if (mn >= 0) {
         st = long(mn) / kStartAlign * kStartAlign;
-        if (st > npad - ps.window_r) st = npad - ps.window_r;
+        if (st > max_start) st = max_start;
         if (st < 0) st = 0;
       }
       start_out[t * k + kk_i] = int32_t(st);
@@ -243,12 +256,13 @@ void build_event_plans(const int32_t* coords0, long cap0,
     build_plan_one(lv, grids.data() + l * 3, lv.coords.data(),
                    long(lv.keys.size()), cap, s_offs.data(), ks, one, npad,
                    series_ps[l], ev->series[l].start.data(),
-                   &ev->series[l].sc);
+                   &ev->series[l].sc, cap);
     if (l == 0) {
       ev->initial.start.assign(size_t(n_tiles * ki), 0);
       build_plan_one(lv, grids.data(), lv.coords.data(),
                      long(lv.keys.size()), cap, i_offs.data(), ki, one, npad,
-                     initial_ps, ev->initial.start.data(), &ev->initial.sc);
+                     initial_ps, ev->initial.start.data(), &ev->initial.sc,
+                     cap);
     }
     if (l < depth) {
       const LevelData& ch = ev->levels[l + 1];
@@ -260,7 +274,7 @@ void build_event_plans(const int32_t* coords0, long cap0,
       build_plan_one(lv, grids.data() + l * 3, ch.coords.data(),
                      long(ch.keys.size()), ch_cap, d_offs.data(), kd, scale,
                      npad, down_ps[l], ev->down_f[l].start.data(),
-                     &ev->down_f[l].sc);
+                     &ev->down_f[l].sc, cap);
       // reverse: one live column per parent row — its parent cell's key in
       // the child table at the row's intra-cell offset.  Mimic via a
       // per-column query walk (queries monotone within a column).
@@ -296,7 +310,8 @@ void build_event_plans(const int32_t* coords0, long cap0,
           long st = 0;
           if (mn >= 0) {
             st = long(mn) / kStartAlign * kStartAlign;
-            if (st > ch_npad - window_r_rev) st = ch_npad - window_r_rev;
+            if (st > conv_max_start(ch_cap, window_r_rev))
+              st = conv_max_start(ch_cap, window_r_rev);
             if (st < 0) st = 0;
           }
           ev->down_r[l].start[size_t(t * kd + kk_i)] = int32_t(st);

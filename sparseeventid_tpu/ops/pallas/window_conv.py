@@ -174,9 +174,31 @@ def _pad_rows(x: jax.Array, n_to: int, fill) -> jax.Array:
 
 
 def _padded_table(keys: jax.Array, feats: jax.Array):
-    """Pad keys/feats so any window slice [start, start+PLAN_R) is in range."""
+    """Pad keys/feats so any window slice [start, start+PLAN_R) is in range.
+
+    PLAN-BUILD path only: the plan kernel stages PLAN_R-row windows.  The
+    conv kernels use _conv_table — their starts are clamped to
+    conv_max_start (the table array itself), so no slack rows are needed."""
     b, n = keys.shape
     npad = _round_up(n, ANCHOR_A) + PLAN_R
+    pk = _pad_rows(keys[..., None], npad, INVALID_KEY)[..., 0]
+    pt = _pad_rows(feats, npad, 0)
+    return pk, pt
+
+
+def _conv_table(keys: jax.Array, feats: jax.Array, window_r: int):
+    """Table arrays for the conv/gather/dw/bwd kernels.
+
+    Plans clamp window starts to conv_max_start(len, r), so slices
+    [start, start+r) stay inside max(round16(len), round16(r)) rows — with
+    GRID_QUANTUM-aligned level capacities this is a NO-OP (the pad was a
+    51 MB HBM round-trip per conv at dune3d scale).  Window rows past
+    n_active hold INVALID keys (never match) and finite features (zeros or
+    stale level data), so they contribute exactly nothing."""
+    n = keys.shape[1]
+    npad = max(_round_up(n, 16), _round_up(window_r, 16))
+    if npad == n:
+        return keys, feats
     pk = _pad_rows(keys[..., None], npad, INVALID_KEY)[..., 0]
     pt = _pad_rows(feats, npad, 0)
     return pk, pt
@@ -194,6 +216,15 @@ def _live_tiles(n_active: jax.Array, m: int) -> jax.Array:
 # Plan kernel: exact 16-aligned window start per (tile, offset) + uncovered
 # --------------------------------------------------------------------------
 
+def conv_max_start(table_cap: int, window_r: int) -> int:
+    """Largest window start the conv kernels may use: their table is the
+    level's [B, cap, C] array itself (16-rounded when unaligned), NOT the
+    plan-staging npad — windows must satisfy start + r <= that length.
+    Mirrors io/_hostio_core.h conv_max_start."""
+    length = max(_round_up(table_cap, 16), _round_up(window_r, 16))
+    return length - window_r
+
+
 def _plan_kernel(
     live_ref,  # SMEM i32[1, 1] live tile count for this batch element
     anchors_ref,  # [1, n_anchor_pad, 1] VMEM (sublane-major)
@@ -205,6 +236,7 @@ def _plan_kernel(
     k: int,
     npad: int,
     r_conv: int,
+    max_start: int,
 ):
     tile = pl.program_id(1)
     big = jnp.int32(2**30)
@@ -230,6 +262,10 @@ def _plan_kernel(
             pos_blk = bl * ANCHOR_A
             coarse = jnp.min(jnp.where(valid & (bl >= 0), pos_blk, big))
             coarse = jnp.minimum(coarse, npad - PLAN_R)
+            # keep the conv window (start <= max_start below) a subset of
+            # the plan window: queries whose anchor escapes the shifted
+            # plan window become ~cov -> sidecar, preserving exactness
+            coarse = jnp.minimum(coarse, (max_start // ANCHOR_A) * ANCHOR_A)
             coarse = jnp.maximum(coarse, 0)
             coarse = pl.multiple_of(coarse, ANCHOR_A)
             # a query's match (if any) lies inside its anchor block; the
@@ -256,6 +292,9 @@ def _plan_kernel(
             start = (live_min // START_ALIGN) * START_ALIGN
             start = jnp.minimum(start, coarse + PLAN_R - r_conv)
             start = jnp.maximum(start, coarse)
+            # conv tables end at the level capacity (no +PLAN_R slack);
+            # >= coarse still holds since coarse <= align(max_start)
+            start = jnp.minimum(start, max_start)
             inwin = hit & (pos >= start) & (pos < start + r_conv)
             # candidates: matched-in-plan-but-outside-conv-window (exact),
             # plus anything whose anchor block escaped the plan window
@@ -272,9 +311,12 @@ def window_plan(
     n_active: jax.Array,  # i32[B] live rows on the QUERY side
     interpret: bool = False,
     window_r: int = WINDOW_R,
+    table_cap: int | None = None,  # UNPADDED table length (conv bound)
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (start i32[B, n_tiles, K], uncovered i32[B, N, K])."""
     b, npad = padded_keys.shape
+    if table_cap is None:
+        table_cap = npad
     _, n, k = qkeys.shape
     n_tiles = _cdiv(n, TILE_T)
     n_anchor = npad // ANCHOR_A
@@ -285,7 +327,10 @@ def window_plan(
         constant_values=INVALID_KEY,
     )[..., None]  # [B, n_anchor_pad, 1]
     live2 = _live_tiles(n_active, n)[:, None]
-    kern = functools.partial(_plan_kernel, k=k, npad=npad, r_conv=window_r)
+    kern = functools.partial(
+        _plan_kernel, k=k, npad=npad, r_conv=window_r,
+        max_start=conv_max_start(table_cap, window_r),
+    )
     start, uncov = pl.pallas_call(
         kern,
         grid=(b, n_tiles),
@@ -564,7 +609,7 @@ def window_conv_apply(
     co = w.shape[-1]
     p = _tiles_per_step(k)
     qkeys, start, mb = _bounded_queries(qkeys, start, q_bound, p)
-    pk, pt = _padded_table(keys, feats)
+    pk, pt = _conv_table(keys, feats, window_r)
     npad = pk.shape[1]
     n_steps = _cdiv(mb, TILE_T * p)
     n_tiles = n_steps * p
@@ -805,7 +850,7 @@ def window_dw(
     p = _tiles_per_step(k)
     qkeys, start, mb = _bounded_queries(qkeys, start, q_bound, p)
     gy = gy[:, :mb]
-    pk, pt = _padded_table(keys, feats)
+    pk, pt = _conv_table(keys, feats, window_r)
     npad = pk.shape[1]
     n_steps = _cdiv(mb, TILE_T * p)
     n_tiles = n_steps * p
@@ -1014,7 +1059,7 @@ def window_bwd_strided(
     co = gy.shape[-1]
     p = _tiles_per_step(k)
     rq_b, rs_b, mb = _bounded_queries(rq, rs, q_bound, p)
-    pk, pgy = _padded_table(keys_out, gy)
+    pk, pgy = _conv_table(keys_out, gy, window_r)
     npad = pk.shape[1]
     n_steps = _cdiv(mb, TILE_T * p)
     n_tiles = n_steps * p
@@ -1088,7 +1133,7 @@ def window_gather(
     """-> g [B, M, K*C]: the gathered neighbor matrix (for dW)."""
     b, m, k = qkeys.shape
     c = feats.shape[-1]
-    pk, pt = _padded_table(keys, feats)
+    pk, pt = _conv_table(keys, feats, window_r)
     npad = pk.shape[1]
     n_tiles = _cdiv(m, TILE_T)
     qk_p = _pad_rows(qkeys, n_tiles * TILE_T, INVALID_QUERY)

@@ -129,7 +129,7 @@ def build_submanifold_window_plan(
     keys = st.keys()
     pk, _ = _padded_table(keys, st.feats[..., :1])
     start, uncov = window_plan(pk, qkeys, st.n_active, interpret=interpret,
-                               window_r=window_r)
+                               window_r=window_r, table_cap=st.capacity)
     src, dst, kk, valid, dropped = _compact_overflow(
         keys, qkeys, uncov, overflow_cap
     )
@@ -174,7 +174,7 @@ def build_strided_window_plans(
     pk_in, _ = _padded_table(keys_in, st.feats[..., :1])
     start_f, uncov_f = window_plan(
         pk_in, qkeys_f, skeleton.n_active, interpret=interpret,
-        window_r=WINDOW_R_STRIDED,
+        window_r=WINDOW_R_STRIDED, table_cap=st.capacity,
     )
     src, dst, kk, val, drop = _compact_overflow(
         keys_in, qkeys_f, uncov_f, overflow_cap
@@ -204,7 +204,8 @@ def build_strided_window_plans(
         keys_out, jnp.zeros((*keys_out.shape, 1), jnp.float32)
     )
     start_r, uncov_r = window_plan(
-        pk_out, qkeys_r, st.n_active, interpret=interpret
+        pk_out, qkeys_r, st.n_active, interpret=interpret,
+        table_cap=skeleton.capacity,
     )
     src_r, dst_r, kk_r, val_r, drop_r = _compact_overflow(
         keys_out, qkeys_r, uncov_r, overflow_cap
