@@ -107,8 +107,9 @@ def main():
 
             return jax.jit(f)
 
-        t1 = timeit(chain(1), st.feats, qkeys, start)
-        t8 = timeit(chain(8), st.feats, qkeys, start)
+        qk_t = qkeys.transpose(0, 2, 1)  # [B, K, M] kernel layout
+        t1 = timeit(chain(1), st.feats, qk_t, start)
+        t8 = timeit(chain(8), st.feats, qk_t, start)
         slope = (t8 - t1) / 7
         print(
             f"R={r:4d}: chain1 {t1:7.2f} ms  chain8 {t8:7.2f} ms  "

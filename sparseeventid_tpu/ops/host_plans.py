@@ -54,8 +54,11 @@ def _plan_from_host(
     window_r: int = WINDOW_R,
     q_bound_frac: float = 1.0,
 ) -> WindowPlan:
+    # ``qkeys`` arrives [B, M, K]; WindowPlan stores the lane-transposed
+    # [B, K, M] layout the conv kernels consume (transposed ONCE here,
+    # amortized over every conv that shares the plan).
     return WindowPlan(
-        qkeys=qkeys,
+        qkeys=qkeys.transpose(0, 2, 1),
         start=host[f"{prefix}/start"],
         q_active=q_active,
         ov_src=host[f"{prefix}/ov_src"],

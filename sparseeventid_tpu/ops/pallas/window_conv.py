@@ -375,11 +375,11 @@ def _conv_kernel(
     live_ref,  # SMEM i32[B, 1]
     keys_ref,  # [1, Npad, 1] VMEM (sublane-major)
     table_ref,  # [1, Npad, C] VMEM
-    qk_ref,  # [1, P*T, K] VMEM
+    qk_ref,  # [1, K, P*T] VMEM (lane-transposed queries)
     start_ref,  # [1, n_tiles, K] SMEM (full)
-    w_ref,  # [KC_pad or Gn*GL, CO] VMEM
+    w_ref,  # wfuse: [K, C, CO]; else [KC_pad or Gn*GL, CO] VMEM
     out_ref,  # [1, P*T, CO] VMEM
-    *scratch,  # G=1: (g [T, KC_pad], oh [K, R, T], s [K, R, C])
+    *scratch,  # G=1 ct: (oh [K, R, T], s [K, R, C]); legacy adds g
     #            G>1: (oh [Gn, G*R, T], s [Gn, G*R, G*C])
     k: int,
     c: int,
@@ -414,15 +414,10 @@ def _conv_kernel(
     if g_off == 1:
         if ct and c == 1:
             g_scratch, = scratch
+        elif ct:
+            oh_scratch, s_scratch = scratch  # weight-fused: no g scratch
         else:
             g_scratch, oh_scratch, s_scratch = scratch
-        if ct and kc_pad > k * c:
-            # pad ROWS of the [KC_pad, T] scratch are never written by the
-            # per-tile stores; uninitialized VMEM can hold NaN patterns and
-            # 0 * NaN would poison the weight GEMM — zero them once.
-            @pl.when((pl.program_id(0) == 0) & (step == 0))
-            def _zero_pad():
-                g_scratch[k * c:, :] = jnp.zeros_like(g_scratch[k * c:, :])
     else:
         oh_scratch, s_scratch = scratch
 
@@ -447,7 +442,7 @@ def _conv_kernel(
 
         @pl.when(tile < live_ref[pl.program_id(0), 0])
         def _live(pp=pp, tile=tile):
-            qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
+            qt = qk_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]  # [K, T]
             if g_off == 1:
                 if ct and c == 1:
                     # C=1 (the 5^d initial conv): one-hot x scalar table ==
@@ -484,17 +479,23 @@ def _conv_kernel(
                     ).astype(oh_scratch.dtype)  # [R, T]
                     s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
                 if ct:
-                    gkt = jax.lax.dot_general(  # [K, C, T]
-                        s_scratch[:], oh_scratch[:],
-                        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    # Weight-fused single-pass: premultiply the staged
+                    # windows by the weights (batched over K), then ONE
+                    # (K*R)-contraction dot -> [CO, T].  Removes the [K, C,
+                    # T] -> [KC, T] scratch copy loop AND the weight GEMM
+                    # (ct_ablate.py: 3.78 -> 3.06 ms/conv at L0 shapes; the
+                    # MXU dots hide under the VPU compare/staging work, the
+                    # copies did not).  w_ref is [K, C, CO] here.
+                    ws = jax.lax.dot_general(  # [K, R, CO]
+                        s_scratch[:], w_ref[:],
+                        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32,
-                    ).astype(g_scratch.dtype)
-                    for kk in range(k):  # row-block layout for the GEMM
-                        g_scratch[kk * c: (kk + 1) * c, :] = gkt[kk]
+                    ).astype(s_scratch.dtype)
                     out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = (
                         jax.lax.dot_general(  # [CO, T]
-                            w_ref[:], g_scratch[:],
-                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            ws.reshape(k * window_r, -1),
+                            oh_scratch[:].reshape(k * window_r, TILE_T),
+                            dimension_numbers=(((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         ).astype(out_ref.dtype)
                     )
@@ -558,7 +559,7 @@ def _gather_kernel(
 
     @pl.when(tile < live_ref[pl.program_id(0), 0])
     def _live():
-        qt = qk_ref[0].transpose(1, 0)
+        qt = qk_ref[0]  # [K, T] (lane-transposed queries)
         for kk in range(k):
             start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
             win = keys_ref[0, pl.ds(start, window_r), 0]
@@ -582,20 +583,32 @@ def _bounded_queries(qkeys, start, q_bound, p):
     occupancies well under capacity, most query tiles are dead yet still pay
     the per-grid-step fixed cost.  ``q_bound`` (plan-level static) truncates
     the grid; rows past it are implicitly zero (the engine pads the output
-    back and surfaces ``max(n_active - q_bound, 0)`` as a metric)."""
-    m = qkeys.shape[1]
+    back and surfaces ``max(n_active - q_bound, 0)`` as a metric).
+
+    ``qkeys`` arrives LANE-TRANSPOSED as [B, K, M] (queries in lanes) so the
+    kernels read [K, T] tiles directly instead of paying a [T, K] -> [K, T]
+    lane<->sublane transpose per tile (~0.26 ms/conv at L0 shapes)."""
+    m = qkeys.shape[2]
     if q_bound is None or q_bound >= m:
         return qkeys, start, m
     qb = _round_up(q_bound, TILE_T * p)
     if qb >= m:
         return qkeys, start, m
-    return qkeys[:, :qb], start[:, : qb // TILE_T], qb
+    return qkeys[:, :, :qb], start[:, : qb // TILE_T], qb
+
+
+def _pad_lanes(x: jax.Array, n_to: int, fill) -> jax.Array:
+    """Pad the LAST dim of [B, K, M] query keys to n_to."""
+    n = x.shape[-1]
+    if n == n_to:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, n_to - n)), constant_values=fill)
 
 
 def window_conv_apply(
     keys: jax.Array,  # [B, N_in] sorted keys of the table site set
     feats: jax.Array,  # [B, N_in, C] table features
-    qkeys: jax.Array,  # [B, M, K] query keys of the output site set
+    qkeys: jax.Array,  # [B, K, M] query keys (lane-transposed)
     start: jax.Array,  # [B, n_tiles, K] from window_plan
     w: jax.Array,  # [K, C, CO]
     q_active: jax.Array,  # i32[B] live rows on the query side
@@ -603,8 +616,10 @@ def window_conv_apply(
     window_r: int = WINDOW_R,
     q_bound: int | None = None,
 ) -> jax.Array:
-    """-> [B, M, CO] in-window contributions (overflow pairs excluded)."""
-    b, m, k = qkeys.shape
+    """-> [B, M, CO] in-window contributions (overflow pairs excluded).
+
+    ``qkeys`` is lane-transposed: [B, K, M]."""
+    b, k, m = qkeys.shape
     c = feats.shape[-1]
     co = w.shape[-1]
     p = _tiles_per_step(k)
@@ -613,7 +628,7 @@ def window_conv_apply(
     npad = pk.shape[1]
     n_steps = _cdiv(mb, TILE_T * p)
     n_tiles = n_steps * p
-    qk_p = _pad_rows(qkeys, n_tiles * TILE_T, INVALID_QUERY)
+    qk_p = _pad_lanes(qkeys, n_tiles * TILE_T, INVALID_QUERY)
     if start.shape[1] < n_tiles:
         start = jnp.pad(start, ((0, 0), (0, n_tiles - start.shape[1]),
                                 (0, 0)))
@@ -622,10 +637,17 @@ def window_conv_apply(
     n_groups = _cdiv(k, g_off)
     glanes = g_off * c
     kc_pad = _round_up(k * c, 128) if g_off == 1 else n_groups * glanes
-    w2 = w.reshape(k * c, co).astype(feats.dtype)
-    w2 = jnp.pad(w2, ((0, kc_pad - k * c), (0, 0)))
-    if ct:
-        w2 = w2.transpose(1, 0)  # [CO, KC_pad]
+    if ct and c != 1:
+        w2 = w.astype(feats.dtype)  # [K, C, CO] for the weight-fused dots
+        w_spec = pl.BlockSpec((k, c, co), lambda bb, i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w2 = w.reshape(k * c, co).astype(feats.dtype)
+        w2 = jnp.pad(w2, ((0, kc_pad - k * c), (0, 0)))
+        if ct:
+            w2 = w2.transpose(1, 0)  # [CO, KC_pad]
+        w_spec = pl.BlockSpec((co, kc_pad) if ct else (kc_pad, co),
+                              lambda bb, i: (0, 0), memory_space=pltpu.VMEM)
     live2 = _live_tiles(q_active, mb)[:, None]
     kern = functools.partial(
         _conv_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p, ct=ct
@@ -633,10 +655,14 @@ def window_conv_apply(
     if g_off == 1:
         if ct and c == 1:
             scratch_shapes = [pltpu.VMEM((kc_pad, TILE_T), jnp.float32)]
+        elif ct:
+            scratch_shapes = [
+                pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
+                pltpu.VMEM((k, window_r, c), feats.dtype),
+            ]
         else:
             scratch_shapes = [
-                pltpu.VMEM((kc_pad, TILE_T) if ct else (TILE_T, kc_pad),
-                           feats.dtype),
+                pltpu.VMEM((TILE_T, kc_pad), feats.dtype),
                 pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
                 pltpu.VMEM((k, window_r, c), feats.dtype),
             ]
@@ -663,12 +689,11 @@ def window_conv_apply(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T * p, k), lambda bb, i: (bb, i, 0),
+            pl.BlockSpec((1, k, TILE_T * p), lambda bb, i: (bb, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((co, kc_pad) if ct else (kc_pad, co),
-                         lambda bb, i: (0, 0), memory_space=pltpu.VMEM),
+            w_spec,
         ],
         out_specs=out_spec,
         out_shape=out_sds,
@@ -740,7 +765,7 @@ def _dw_kernel(
 
         @pl.when(tile < live_ref[pl.program_id(0), 0])
         def _live(pp=pp, tile=tile):
-            qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
+            qt = qk_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]  # [K, T]
             if g_off == 1:
                 if ct and c == 1:
                     # C=1 select-gather (see _conv_kernel)
@@ -834,7 +859,7 @@ def _dw_kernel(
 def window_dw(
     keys: jax.Array,  # [B, N_in] table keys
     feats: jax.Array,  # [B, N_in, C] table features
-    qkeys: jax.Array,  # [B, M, K]
+    qkeys: jax.Array,  # [B, K, M] (lane-transposed)
     start: jax.Array,  # [B, n_tiles, K]
     gy: jax.Array,  # [B, M, CO] output cotangent
     q_active: jax.Array,
@@ -843,8 +868,8 @@ def window_dw(
     q_bound: int | None = None,
 ) -> jax.Array:
     """-> dW f32[K, C, CO] = sum over pairs of x[src] (x) gy[dst] for the
-    in-window pairs of the plan."""
-    b, m, k = qkeys.shape
+    in-window pairs of the plan.  ``qkeys`` is lane-transposed [B, K, M]."""
+    b, k, m = qkeys.shape
     c = feats.shape[-1]
     co = gy.shape[-1]
     p = _tiles_per_step(k)
@@ -854,7 +879,7 @@ def window_dw(
     npad = pk.shape[1]
     n_steps = _cdiv(mb, TILE_T * p)
     n_tiles = n_steps * p
-    qk_p = _pad_rows(qkeys, n_tiles * TILE_T, INVALID_QUERY)
+    qk_p = _pad_lanes(qkeys, n_tiles * TILE_T, INVALID_QUERY)
     gy_p = _pad_rows(gy, n_tiles * TILE_T, 0)
     if start.shape[1] < n_tiles:
         start = jnp.pad(start, ((0, 0), (0, n_tiles - start.shape[1]),
@@ -906,7 +931,7 @@ def window_dw(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T * p, k), lambda bb, i: (bb, i, 0),
+            pl.BlockSpec((1, k, TILE_T * p), lambda bb, i: (bb, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -929,7 +954,7 @@ def window_bwd_subm(
     keys: jax.Array,  # [B, N] sorted site keys (shared by x and gy)
     feats: jax.Array,  # [B, N, C] forward input
     gy: jax.Array,  # [B, N, CO] output cotangent
-    qkeys: jax.Array,  # [B, M, K] forward plan queries
+    qkeys: jax.Array,  # [B, K, M] forward plan queries (lane-transposed)
     start: jax.Array,  # [B, n_tiles, K] forward plan starts
     w: jax.Array,  # [K, C, CO]
     q_active: jax.Array,
@@ -1011,7 +1036,7 @@ def _bwd_strided_kernel(
 
         @pl.when(tile < live_ref[pl.program_id(0), 0])
         def _live(pp=pp, tile=tile):
-            qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
+            qt = qk_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]  # [K, T]
             for kk in range(k):
                 start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
                 win = keys_ref[0, pl.ds(start, window_r), 0]
@@ -1045,7 +1070,7 @@ def window_bwd_strided(
     keys_out: jax.Array,  # [B, N_out] output-site keys
     gy: jax.Array,  # [B, N_out, CO] output cotangent
     feats: jax.Array,  # [B, N_in, C] forward input
-    rq: jax.Array,  # [B, N_in, K] reverse plan queries
+    rq: jax.Array,  # [B, K, N_in] reverse plan queries (lane-transposed)
     rs: jax.Array,  # [B, n_tiles, K] reverse plan starts
     w: jax.Array,  # [K, C, CO]
     r_active: jax.Array,
@@ -1053,8 +1078,10 @@ def window_bwd_strided(
     window_r: int = WINDOW_R_STRIDED,
     q_bound: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """-> (dx [B, N_in, C], dw f32 [K, C, CO]) for the rev-plan pair set."""
-    b, m, k = rq.shape
+    """-> (dx [B, N_in, C], dw f32 [K, C, CO]) for the rev-plan pair set.
+
+    ``rq`` is lane-transposed [B, K, N_in]."""
+    b, k, m = rq.shape
     c = feats.shape[-1]
     co = gy.shape[-1]
     p = _tiles_per_step(k)
@@ -1063,7 +1090,7 @@ def window_bwd_strided(
     npad = pk.shape[1]
     n_steps = _cdiv(mb, TILE_T * p)
     n_tiles = n_steps * p
-    qk_p = _pad_rows(rq_b, n_tiles * TILE_T, INVALID_QUERY)
+    qk_p = _pad_lanes(rq_b, n_tiles * TILE_T, INVALID_QUERY)
     x_ct = _pad_rows(feats[:, :mb], n_tiles * TILE_T, 0).transpose(0, 2, 1)
     if rs_b.shape[1] < n_tiles:
         rs_b = jnp.pad(rs_b, ((0, 0), (0, n_tiles - rs_b.shape[1]), (0, 0)))
@@ -1085,7 +1112,7 @@ def window_bwd_strided(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, co), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T * p, k), lambda bb, i: (bb, i, 0),
+            pl.BlockSpec((1, k, TILE_T * p), lambda bb, i: (bb, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rs_b.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -1130,13 +1157,15 @@ def window_gather(
     interpret: bool = False,
     window_r: int = WINDOW_R,
 ) -> jax.Array:
-    """-> g [B, M, K*C]: the gathered neighbor matrix (for dW)."""
-    b, m, k = qkeys.shape
+    """-> g [B, M, K*C]: the gathered neighbor matrix (for dW).
+
+    ``qkeys`` is lane-transposed [B, K, M]."""
+    b, k, m = qkeys.shape
     c = feats.shape[-1]
     pk, pt = _conv_table(keys, feats, window_r)
     npad = pk.shape[1]
     n_tiles = _cdiv(m, TILE_T)
-    qk_p = _pad_rows(qkeys, n_tiles * TILE_T, INVALID_QUERY)
+    qk_p = _pad_lanes(qkeys, n_tiles * TILE_T, INVALID_QUERY)
     live2 = _live_tiles(q_active, m)[:, None]
     kern = functools.partial(_gather_kernel, k=k, c=c, window_r=window_r)
     g = pl.pallas_call(
@@ -1149,7 +1178,7 @@ def window_gather(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_T, k), lambda bb, i: (bb, i, 0),
+            pl.BlockSpec((1, k, TILE_T), lambda bb, i: (bb, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),

@@ -50,7 +50,10 @@ from .window_conv import (
 class WindowPlan:
     """Per-site-set plan for the windowed conv engine."""
 
-    qkeys: jax.Array  # i32[B, M, K] query keys (INVALID_QUERY when dead)
+    qkeys: jax.Array  # i32[B, K, M] lane-transposed query keys
+    #                   (INVALID_QUERY when dead); queries sit in LANES so
+    #                   the conv kernels read [K, T] tiles without a per-tile
+    #                   lane<->sublane transpose
     start: jax.Array  # i32[B, n_tiles, K] window starts
     q_active: jax.Array  # i32[B] live rows on the query side (tile skipping)
     ov_src: jax.Array  # i32[B, S] table row of overflow pair
@@ -74,7 +77,7 @@ class WindowPlan:
 
     @property
     def num_offsets(self) -> int:
-        return self.qkeys.shape[2]
+        return self.qkeys.shape[1]
 
 
 def _compact_overflow(
@@ -134,8 +137,8 @@ def build_submanifold_window_plan(
         keys, qkeys, uncov, overflow_cap
     )
     return WindowPlan(
-        qkeys, start, st.n_active, src, dst, kk, valid, dropped,
-        offsets=tuple(map(tuple, offs.tolist())), window_r=window_r,
+        qkeys.transpose(0, 2, 1), start, st.n_active, src, dst, kk, valid,
+        dropped, offsets=tuple(map(tuple, offs.tolist())), window_r=window_r,
         q_bound=q_bound,
     )
 
@@ -180,7 +183,8 @@ def build_strided_window_plans(
         keys_in, qkeys_f, uncov_f, overflow_cap
     )
     fwd = WindowPlan(
-        qkeys_f, start_f, skeleton.n_active, src, dst, kk, val, drop,
+        qkeys_f.transpose(0, 2, 1), start_f, skeleton.n_active,
+        src, dst, kk, val, drop,
         offsets=tuple(map(tuple, offs.tolist())),
         window_r=WINDOW_R_STRIDED, q_bound=q_bound,
     )
@@ -211,7 +215,8 @@ def build_strided_window_plans(
         keys_out, qkeys_r, uncov_r, overflow_cap
     )
     rev = WindowPlan(
-        qkeys_r, start_r, st.n_active, src_r, dst_r, kk_r, val_r, drop_r,
+        qkeys_r.transpose(0, 2, 1), start_r, st.n_active,
+        src_r, dst_r, kk_r, val_r, drop_r,
         offsets=tuple(map(tuple, offs.tolist())), window_r=WINDOW_R,
         q_bound=rev_q_bound,
     )
@@ -376,7 +381,7 @@ def _subm_bwd(offsets, interpret, window_r, q_bound, res, gy):
     # equality check, scripts/check_window_tpu.py.)
     w_t = jnp.transpose(w, (0, 2, 1))
     dx = window_conv_apply(
-        keys, gy, qkeys[:, :, perm], start[:, :, perm], w_t, q_active,
+        keys, gy, qkeys[:, perm, :], start[:, :, perm], w_t, q_active,
         interpret=interpret, window_r=window_r, q_bound=q_bound,
     )
     dx = _apply_overflow_any(
