@@ -43,10 +43,10 @@ P = int(os.environ.get("SEID_P", "4"))
 
 def _ct_kernel(
     live_ref, keys_ref, table_ref, qk_ref, start_ref, w_ref, out_ref,
-    g_scratch, oh_scratch, s_scratch,
+    g_scratch, oh_scratch, s_scratch, wk_scratch,
     *, k, c, kc_pad, window_r, p, qk_t, do_compare, do_stage, do_dot,
     do_copy, do_gemm, rs_copy=False, wfuse=False, kc_contract=False,
-    f32oh=False,
+    f32oh=False, cmp1=False,
 ):
     step = pl.program_id(1)
     if kc_pad > k * c and not wfuse:
@@ -69,17 +69,33 @@ def _ct_kernel(
                 qt = qk_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]  # [K, T]
             else:
                 qt = qk_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :].transpose(1, 0)
-            for kk in range(k):
-                start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
-                if do_compare:
-                    win = keys_ref[0, pl.ds(start, window_r), 0]
-                    oh_scratch[kk] = (
-                        win[:, None] == qt[kk][None, :]
-                    ).astype(oh_scratch.dtype)
-                if do_stage:
+            if cmp1:
+                # stage window keys per offset, then ONE batched compare
+                for kk in range(k):
+                    start = pl.multiple_of(
+                        start_ref[0, tile, kk], START_ALIGN
+                    )
+                    wk_scratch[kk] = keys_ref[0, pl.ds(start, window_r), :]
                     s_scratch[kk] = table_ref[
                         0, pl.ds(start, window_r), :
                     ].astype(s_scratch.dtype)
+                oh_scratch[...] = (
+                    wk_scratch[:] == qt[:, None, :]
+                ).astype(oh_scratch.dtype)
+            else:
+                for kk in range(k):
+                    start = pl.multiple_of(
+                        start_ref[0, tile, kk], START_ALIGN
+                    )
+                    if do_compare:
+                        win = keys_ref[0, pl.ds(start, window_r), 0]
+                        oh_scratch[kk] = (
+                            win[:, None] == qt[kk][None, :]
+                        ).astype(oh_scratch.dtype)
+                    if do_stage:
+                        s_scratch[kk] = table_ref[
+                            0, pl.ds(start, window_r), :
+                        ].astype(s_scratch.dtype)
             if wfuse:
                 # premultiply staged windows by the weights (batched over K),
                 # then ONE (K*R)-contraction dot -> [CO, T]; no copy, no GEMM
@@ -142,7 +158,7 @@ def _ct_kernel(
 def variant_apply(keys, feats, qkeys, start, w, q_active, *, window_r,
                   qk_t=False, do_compare=True, do_stage=True, do_dot=True,
                   do_copy=True, do_gemm=True, rs_copy=False, wfuse=False,
-                  kc_contract=False, f32oh=False):
+                  kc_contract=False, f32oh=False, cmp1=False):
     b, m, k = qkeys.shape
     c = feats.shape[-1]
     co = w.shape[-1]
@@ -173,7 +189,7 @@ def variant_apply(keys, feats, qkeys, start, w, q_active, *, window_r,
         _ct_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p,
         qk_t=qk_t, do_compare=do_compare, do_stage=do_stage, do_dot=do_dot,
         do_copy=do_copy, do_gemm=do_gemm, rs_copy=rs_copy, wfuse=wfuse,
-        kc_contract=kc_contract, f32oh=f32oh,
+        kc_contract=kc_contract, f32oh=f32oh, cmp1=cmp1,
     )
     out = pl.pallas_call(
         kern,
@@ -196,6 +212,7 @@ def variant_apply(keys, feats, qkeys, start, w, q_active, *, window_r,
                        jnp.float32 if f32oh else feats.dtype),
             pltpu.VMEM((k, window_r, c),
                        jnp.float32 if f32oh else feats.dtype),
+            pltpu.VMEM((k, window_r, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
@@ -243,6 +260,7 @@ def main():
         ("wfuse", dict(wfuse=True)),
         ("wfuse+qk_t", dict(wfuse=True, qk_t=True)),
         ("wf+qk_t+f32", dict(wfuse=True, qk_t=True, f32oh=True)),
+        ("wf+qk_t+cmp1", dict(wfuse=True, qk_t=True, cmp1=True)),
         ("qk_t", dict(qk_t=True)),
         ("no_copy", dict(do_copy=False)),
         ("no_gemm", dict(do_gemm=False)),

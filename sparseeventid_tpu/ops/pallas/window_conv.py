@@ -57,11 +57,14 @@ ANCHOR_A = 128
 # out-of-window pairs).  Smaller R trades sidecar load for kernel time —
 # the R sweep is env-tunable because plan build (host C++ or device) and
 # the conv kernels must agree on it.
-# R=160: -8 ms/step vs 176 (326.9 vs 335.2 measured), sidecar occupancy
-# <=65% of cap at every level (scripts/ov_occupancy.py 160 144 160: SAFE).
-# The kernel is only ~25% R-linear — most of its time is per-tile fixed
-# cost — so shrinking R further buys little and inflates the sidecars.
-WINDOW_R = int(_os.environ.get("SEID_WINDOW_R", "160"))
+# R=144 for the shallow levels: with the weight-fused kernel the compare
+# and the K*R-contraction dot are both R-linear and 160->144 measured
+# -5.2%/conv in-chain (r_sweep_probe, max sidecar 174 entries — well under
+# the capacity//8 caps).  R=128 REGRESSES: sidecars jump to ~730 entries
+# and the serial fori_loop eats the savings.  Deep levels (>= DEEP_FROM)
+# keep R=160 — their per-tile match spans are wider relative to capacity
+# (ov_occupancy: L3 is 381/390 at R=144, one bad event from dropping).
+WINDOW_R = int(_os.environ.get("SEID_WINDOW_R", "144"))
 WINDOW_R_STRIDED = int(_os.environ.get("SEID_WINDOW_R_STRIDED", "320"))
 # Initial 5^d conv: per-tile match spans are ~half the series conv's
 # (scripts/window_r_analysis.py: p50=55 vs 90-122) and the C=1 path's
@@ -75,8 +78,10 @@ WINDOW_R_INITIAL = int(_os.environ.get("SEID_WINDOW_R_INITIAL", "144"))
 # sit below the out-of-window pair counts at R=128 (scripts/ov_occupancy.py:
 # L2+ drop pairs), and the serial sidecar loop would eat the savings — they
 # keep the default R.  SEID_WINDOW_R_DEEP / _DEEP_FROM tune the split.
-WINDOW_R_DEEP = int(_os.environ.get("SEID_WINDOW_R_DEEP", str(WINDOW_R)))
-WINDOW_R_DEEP_FROM = int(_os.environ.get("SEID_WINDOW_R_DEEP_FROM", "2"))
+WINDOW_R_DEEP = int(
+    _os.environ.get("SEID_WINDOW_R_DEEP", str(max(WINDOW_R, 160)))
+)
+WINDOW_R_DEEP_FROM = int(_os.environ.get("SEID_WINDOW_R_DEEP_FROM", "3"))
 
 
 def window_r_for_level(level: int) -> int:
