@@ -25,6 +25,7 @@ from .pallas.window_conv import (
     WINDOW_R_INITIAL,
     WINDOW_R_STRIDED,
     compute_query_keys,
+    compute_strided_query_keys,
     window_r_for_level,
 )
 from .pallas.window_engine import WindowPlan
@@ -77,16 +78,9 @@ def _strided_qkeys(
 ) -> jax.Array:
     """Forward downsample queries: out*stride + delta into the parent grid
     (mirrors window_engine.build_strided_window_plans)."""
-    q = (
-        skeleton.coords[:, :, None, :] * jnp.asarray(stride, jnp.int32)
-        + jnp.asarray(offs, jnp.int32)[None, None]
+    return compute_strided_query_keys(
+        skeleton, parent.grid_shape, stride, offs
     )
-    in_bounds = jnp.all(
-        (q >= 0) & (q < jnp.asarray(parent.grid_shape, jnp.int32)), axis=-1
-    )
-    qk = linearize(q, parent.grid_shape)
-    valid = in_bounds & skeleton.row_mask()[:, :, None] & (qk != INVALID_KEY)
-    return jnp.where(valid, qk, INVALID_QUERY)
 
 
 def _reverse_qkeys(

@@ -159,13 +159,56 @@ def _round_up(x: int, m: int) -> int:
 
 
 def compute_query_keys(st: SparseTensor, offsets: np.ndarray) -> jax.Array:
-    """q[b, n, k] = linearize(coords + offsets[k]) or INVALID_QUERY."""
-    q = st.coords[:, :, None, :] + jnp.asarray(offsets, jnp.int32)[None, None]
-    in_bounds = jnp.all(
-        (q >= 0) & (q < jnp.asarray(st.grid_shape, jnp.int32)), axis=-1
+    """q[b, n, k] = linearize(coords + offsets[k]) or INVALID_QUERY.
+
+    Key-arithmetic formulation: the shifted key is key + delta_key(k) (the
+    linearization is affine), so the rank-4 [B, N, K, 3] coordinate tensor
+    never materializes — at K=125 the naive form cost ~1.2 GB of HBM
+    traffic per step in broadcast_add/and_select fusions (trace r2)."""
+    offs = np.asarray(offsets, np.int64)
+    g = [int(x) for x in st.grid_shape]
+    dkey = np.asarray(
+        (offs[:, 0] * g[1] + offs[:, 1]) * g[2] + offs[:, 2], np.int32
     )
-    qk = linearize(q, st.grid_shape)
-    valid = in_bounds & st.row_mask()[:, :, None] & (qk != INVALID_KEY)
+    keys = st.keys()  # [B, N] (INVALID_KEY at padding)
+    qk = keys[:, :, None] + dkey[None, None, :]
+    valid = st.row_mask()[:, :, None]
+    for d in range(3):
+        cd = st.coords[..., d][:, :, None] + jnp.asarray(
+            offs[:, d], jnp.int32
+        )[None, None, :]
+        valid = valid & (cd >= 0) & (cd < g[d])
+    return jnp.where(valid, qk, INVALID_QUERY)
+
+
+def compute_strided_query_keys(
+    skeleton: SparseTensor,
+    parent_grid: Tuple[int, ...],
+    stride,
+    offsets: np.ndarray,
+) -> jax.Array:
+    """Forward downsample queries: linearize(out*stride + delta) in the
+    PARENT grid, or INVALID_QUERY.  Same key-arithmetic trick as
+    compute_query_keys: linearize(c*s + d) = linearize(c*s) + delta_key."""
+    offs = np.asarray(offsets, np.int64)
+    g = [int(x) for x in parent_grid]
+    s = [int(x) for x in stride]
+    dkey = np.asarray(
+        (offs[:, 0] * g[1] + offs[:, 1]) * g[2] + offs[:, 2], np.int32
+    )
+    c = skeleton.coords
+    base = (
+        (c[..., 0] * np.int32(s[0]) * np.int32(g[1])
+         + c[..., 1] * np.int32(s[1])) * np.int32(g[2])
+        + c[..., 2] * np.int32(s[2])
+    )  # [B, N] linearize(c*stride) — garbage at padding (-1 coords), masked
+    qk = base[:, :, None] + dkey[None, None, :]
+    valid = skeleton.row_mask()[:, :, None]
+    for d in range(3):
+        cd = c[..., d][:, :, None] * np.int32(s[d]) + jnp.asarray(
+            offs[:, d], jnp.int32
+        )[None, None, :]
+        valid = valid & (cd >= 0) & (cd < g[d])
     return jnp.where(valid, qk, INVALID_QUERY)
 
 

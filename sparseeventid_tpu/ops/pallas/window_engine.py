@@ -34,6 +34,7 @@ from .window_conv import (
     WINDOW_R_STRIDED,
     _padded_table,
     compute_query_keys,
+    compute_strided_query_keys,
     overflow_apply,
     overflow_dw,
     window_bwd_strided,
@@ -162,17 +163,10 @@ def build_strided_window_plans(
     offs = kernel_offsets(stride, centered=False)
     k = len(offs)
 
-    # forward queries
-    q = (
-        skeleton.coords[:, :, None, :] * jnp.asarray(stride, jnp.int32)
-        + jnp.asarray(offs, jnp.int32)[None, None]
+    # forward queries (key-arithmetic form, no [B, N, K, 3] intermediate)
+    qkeys_f = compute_strided_query_keys(
+        skeleton, st.grid_shape, stride, offs
     )
-    in_bounds = jnp.all(
-        (q >= 0) & (q < jnp.asarray(st.grid_shape, jnp.int32)), axis=-1
-    )
-    qk = linearize(q, st.grid_shape)
-    valid = in_bounds & skeleton.row_mask()[:, :, None] & (qk != INVALID_KEY)
-    qkeys_f = jnp.where(valid, qk, INVALID_QUERY)
     keys_in = st.keys()
     pk_in, _ = _padded_table(keys_in, st.feats[..., :1])
     start_f, uncov_f = window_plan(
