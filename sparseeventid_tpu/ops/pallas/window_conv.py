@@ -94,7 +94,9 @@ START_ALIGN = 16
 # Query tiles processed per grid step.  Mosaic's per-grid-step fixed cost
 # (~1.4-4.5 us/step measured with an empty body at level-0 shapes) made the
 # 1-tile-per-step grid overhead-bound; fatter steps amortize it.
-TILES_PER_STEP = 4
+# SEID_P_SERIES overrides for K<=32 kernels only (the K=125 initial conv
+# stays at P=1 — its unrolled body scales with K*P and blows up compiles).
+TILES_PER_STEP = int(_os.environ.get("SEID_P_SERIES", "4"))
 
 
 def _group_size(k: int, c: int) -> int:
@@ -129,6 +131,22 @@ def _use_ct(c: int, co: int) -> bool:
     # c == 1 rides the CT output layout too, with a select-based gather
     # (see _conv_kernel): the [K,R,1] gather dot would use 1/128 MXU lanes.
     return (c % 16 == 0 or c == 1) and co % 16 == 0
+
+
+def _use_wfuse(k: int, c: int, co: int) -> bool:
+    """Weight-fused CT forward (premultiply the staged windows by the
+    weights, then one (K*R)-contraction dot).  The premultiply is a
+    [K,R,C]x[K,C,CO] dot PER TILE — K*C*CO work that is redundant across
+    tiles — so it only pays while C*CO is small enough that both dots hide
+    under the VPU compare/staging work.  Measured (level_probe, fwd+bwd
+    per conv): C=32..128 weight-fused wins (L0 8.7 vs 14.7 ms legacy);
+    C=160 it LOSES 2x (9.9 vs 5.7) — the premultiply dominates.  The
+    budget 27*128*128 keeps every measured winner and routes C>=160
+    series convs to the two-step CT form.  SEID_WFUSE=0/1 forces."""
+    env = _os.environ.get("SEID_WFUSE")
+    if env is not None:
+        return env == "1"
+    return k * c * co <= 27 * 128 * 128
 
 
 def _tiles_per_step(k: int) -> int:
@@ -435,6 +453,7 @@ def _conv_kernel(
     window_r: int,
     p: int,
     ct: bool = False,
+    wfuse: bool = False,
 ):
     """P query tiles per step.
 
@@ -447,6 +466,8 @@ def _conv_kernel(
     [CO,KC]x[KC,T] -> [CO,T], stored to a [B, CO, M] output that the
     wrapper transposes once outside the kernel — at C=32 the legacy
     orientation wasted 3/4 of the MXU output lanes on both dots.
+    ``wfuse`` (shallow levels only, see _use_wfuse) replaces the scratch
+    round-trip with a per-tile weight premultiply.
 
     G>1 (experiments only, see _group_size): offsets packed G=128//C per
     block-diagonal dot.  Group g stages offset kk=g*G+j's window at rows
@@ -463,9 +484,19 @@ def _conv_kernel(
         if ct and c == 1:
             g_scratch, = scratch
         elif ct:
-            oh_scratch, s_scratch = scratch  # weight-fused: no g scratch
+            # wfuse and two-step CT both work on dot-result values —
+            # no [KC, T] scratch round-trip.
+            oh_scratch, s_scratch = scratch
         else:
             g_scratch, oh_scratch, s_scratch = scratch
+        if ct and c == 1 and kc_pad > k * c:
+            # pad ROWS of the c==1 [KC_pad, T] scratch are never written
+            # by the per-offset stores; uninitialized VMEM can hold NaN
+            # patterns and 0 * NaN would poison the weight GEMM — zero
+            # them once.
+            @pl.when((pl.program_id(0) == 0) & (step == 0))
+            def _zero_pad():
+                g_scratch[k * c:, :] = jnp.zeros_like(g_scratch[k * c:, :])
     else:
         oh_scratch, s_scratch = scratch
 
@@ -526,7 +557,7 @@ def _conv_kernel(
                         win[:, None] == qt[kk][None, :]
                     ).astype(oh_scratch.dtype)  # [R, T]
                     s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
-                if ct:
+                if ct and wfuse:
                     # Weight-fused single-pass: premultiply the staged
                     # windows by the weights (batched over K), then ONE
                     # (K*R)-contraction dot -> [CO, T].  Removes the [K, C,
@@ -544,6 +575,24 @@ def _conv_kernel(
                             ws.reshape(k * window_r, -1),
                             oh_scratch[:].reshape(k * window_r, TILE_T),
                             dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ).astype(out_ref.dtype)
+                    )
+                    return
+                if ct:
+                    # Two-step CT (deep levels, C*CO too big for the
+                    # per-tile premultiply): gather dot -> VALUE reshape
+                    # [K,C,T] -> [KC,T] (free leading-dim merge, no
+                    # scratch round-trip) -> one big [CO,KC]x[KC,T] GEMM.
+                    gkt = jax.lax.dot_general(  # [K, C, T]
+                        s_scratch[:], oh_scratch[:],
+                        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32,
+                    ).astype(s_scratch.dtype).reshape(k * c, TILE_T)
+                    out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = (
+                        jax.lax.dot_general(  # [CO, T]
+                            w_ref[:], gkt,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         ).astype(out_ref.dtype)
                     )
@@ -682,12 +731,20 @@ def window_conv_apply(
                                 (0, 0)))
     g_off = _group_size(k, c)
     ct = g_off == 1 and _use_ct(c, co)
+    wfuse = ct and c != 1 and _use_wfuse(k, c, co)
     n_groups = _cdiv(k, g_off)
     glanes = g_off * c
     kc_pad = _round_up(k * c, 128) if g_off == 1 else n_groups * glanes
-    if ct and c != 1:
+    if wfuse:
         w2 = w.astype(feats.dtype)  # [K, C, CO] for the weight-fused dots
         w_spec = pl.BlockSpec((k, c, co), lambda bb, i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    elif ct and c != 1:
+        # two-step CT: the gathered [K*C, T] is a dot-result value, so
+        # the weight GEMM contracts the UNPADDED k*c (Mosaic zero-pads
+        # contractions internally).
+        w2 = w.reshape(k * c, co).astype(feats.dtype).transpose(1, 0)
+        w_spec = pl.BlockSpec((co, k * c), lambda bb, i: (0, 0),
                               memory_space=pltpu.VMEM)
     else:
         w2 = w.reshape(k * c, co).astype(feats.dtype)
@@ -698,7 +755,8 @@ def window_conv_apply(
                               lambda bb, i: (0, 0), memory_space=pltpu.VMEM)
     live2 = _live_tiles(q_active, mb)[:, None]
     kern = functools.partial(
-        _conv_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p, ct=ct
+        _conv_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p,
+        ct=ct, wfuse=wfuse,
     )
     if g_off == 1:
         if ct and c == 1:
@@ -1043,18 +1101,16 @@ def _bwd_strided_kernel(
     gyt_ref,  # [1, Npad, CO] VMEM (gy table over output sites)
     qk_ref,  # [1, P*T, K] VMEM (reverse plan queries, one row per INPUT site)
     start_ref,  # [1, n_tiles, K] SMEM
-    wdx_ref,  # [C, KCO_pad] VMEM
+    wdx_ref,  # [C, K*CO] VMEM
     xct_ref,  # [1, C, P*T] VMEM (x tiles, lane-transposed)
     dx_ref,  # [1, C, P*T] VMEM out
-    dw_ref,  # [KCO_pad, C] f32 VMEM out (accumulated; [K, CO, C] order)
-    ggy_s,  # [KCO_pad, T]
+    dw_ref,  # [K*CO, C] f32 VMEM out (accumulated; [K, CO, C] order)
     oh_s,  # [K, R, T]
     sgy_s,  # [K, R, CO]
     *,
     k: int,
     c: int,
     co: int,
-    kco_pad: int,
     window_r: int,
     p: int,
 ):
@@ -1063,15 +1119,20 @@ def _bwd_strided_kernel(
     The strided bwd's dX and dW BOTH walk the REVERSE plan over the same
     gy table (window_engine._strided_bwd) — the unfused path staged the
     identical [K, R, CO] windows and built the identical one-hots twice.
-    Here: gather gy once; dX_ct = W_dx @ ggy; dW[k, co, c] += ggy x_ct."""
+    Here: gather gy once; dX_ct = W_dx @ ggy; dW[k, co, c] += ggy x_ct.
+
+    The gathered [K, CO, T] feeds both consumers through a VALUE reshape
+    to [K*CO, T] — NOT a scratch round-trip: the old [KCO_pad, T] scratch
+    copy loop (K stores of [CO, T]) cost ~1.2 ms/conv at L0 shapes and
+    made each backward launch ~1.6x its forward (trace r2: 3.13 vs 1.92
+    ms).  Mosaic merges leading dims of a dot result for free (the same
+    pattern as the weight-fused forward's ws.reshape)."""
     step = pl.program_id(1)
     first = (pl.program_id(0) == 0) & (step == 0)
 
     @pl.when(first)
     def _zero():
         dw_ref[...] = jnp.zeros_like(dw_ref)
-        if kco_pad > k * co:
-            ggy_s[k * co:, :] = jnp.zeros_like(ggy_s[k * co:, :])
 
     for pp in range(p):
         tile = step * p + pp
@@ -1096,19 +1157,17 @@ def _bwd_strided_kernel(
                 sgy_s[:], oh_s[:],
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-            ).astype(ggy_s.dtype)
-            for kk in range(k):
-                ggy_s[kk * co: (kk + 1) * co, :] = ggy[kk]
+            ).astype(sgy_s.dtype).reshape(k * co, TILE_T)
             dx_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = (
                 jax.lax.dot_general(  # [C, T]
-                    wdx_ref[:], ggy_s[:],
+                    wdx_ref[:], ggy,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 ).astype(dx_ref.dtype)
             )
             x_ct = xct_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]
-            dw_ref[...] += jax.lax.dot_general(  # [KCO_pad, C]
-                ggy_s[:], x_ct,
+            dw_ref[...] += jax.lax.dot_general(  # [K*CO, C]
+                ggy, x_ct,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -1142,13 +1201,14 @@ def window_bwd_strided(
     x_ct = _pad_rows(feats[:, :mb], n_tiles * TILE_T, 0).transpose(0, 2, 1)
     if rs_b.shape[1] < n_tiles:
         rs_b = jnp.pad(rs_b, ((0, 0), (0, n_tiles - rs_b.shape[1]), (0, 0)))
-    kco_pad = _round_up(k * co, 128)
-    wdx = w.transpose(1, 0, 2).reshape(c, k * co).astype(feats.dtype)
-    wdx = jnp.pad(wdx, ((0, 0), (0, kco_pad - k * co)))
+    # K*CO stays unpadded: Mosaic pads dot contractions internally with
+    # zeros, and the dw accumulator only needs sublane (8) alignment,
+    # which C, CO % 16 == 0 guarantees.
+    kco = k * co
+    wdx = w.transpose(1, 0, 2).reshape(c, kco).astype(feats.dtype)
     live2 = _live_tiles(r_active, mb)[:, None]
     kern = functools.partial(
-        _bwd_strided_kernel, k=k, c=c, co=co, kco_pad=kco_pad,
-        window_r=window_r, p=p,
+        _bwd_strided_kernel, k=k, c=c, co=co, window_r=window_r, p=p,
     )
     dx, dw = pl.pallas_call(
         kern,
@@ -1164,7 +1224,7 @@ def window_bwd_strided(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rs_b.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((c, kco_pad), lambda bb, i: (0, 0),
+            pl.BlockSpec((c, kco), lambda bb, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, TILE_T * p), lambda bb, i: (bb, 0, i),
                          memory_space=pltpu.VMEM),
@@ -1172,15 +1232,14 @@ def window_bwd_strided(
         out_specs=(
             pl.BlockSpec((1, c, TILE_T * p), lambda bb, i: (bb, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kco_pad, c), lambda bb, i: (0, 0),
+            pl.BlockSpec((kco, c), lambda bb, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, c, n_tiles * TILE_T), feats.dtype),
-            jax.ShapeDtypeStruct((kco_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((kco, c), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((kco_pad, TILE_T), feats.dtype),
             pltpu.VMEM((k, window_r, TILE_T), feats.dtype),
             pltpu.VMEM((k, window_r, co), feats.dtype),
         ],
@@ -1192,7 +1251,7 @@ def window_bwd_strided(
     dx = dx.transpose(0, 2, 1)[:, :mb]
     if mb < m:
         dx = _pad_rows(dx, m, 0)
-    dw = dw[: k * co].reshape(k, co, c).transpose(0, 2, 1)
+    dw = dw.reshape(k, co, c).transpose(0, 2, 1)
     return dx, dw
 
 
