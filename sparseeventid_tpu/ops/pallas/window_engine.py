@@ -253,6 +253,15 @@ def _overflow_dw(table_feats, g_out, src, dst, kk, valid, k):
     return jnp.sum(jax.vmap(one)(table_feats, g_out, src, dst, kk, valid), axis=0)
 
 
+def _use_batched_sidecar(c: int) -> bool:
+    """v2 batched sidecars (window_sidecar) on hardware for C > 1; the
+    serial v1 kernels remain for the C=1 initial conv (one-lane dots) and
+    as the SEID_SIDECAR=serial bisect."""
+    import os
+
+    return c != 1 and os.environ.get("SEID_SIDECAR") != "serial"
+
+
 def _apply_overflow_any(out, table, w, src, dst, kk, valid, interpret):
     """Pallas sidecar on hardware; the XLA twin in interpret mode (the XLA
     gather/one-hot/scatter formulation compiles pathologically slowly on TPU
@@ -263,6 +272,14 @@ def _apply_overflow_any(out, table, w, src, dst, kk, valid, interpret):
         return out                                # drops overflow pairs!
     if interpret:
         return _apply_overflow(out, table, w, src, dst, kk, valid)
+    if _use_batched_sidecar(table.shape[-1]):
+        from .window_conv import _ov_bound
+        from .window_sidecar import overflow_apply_batched
+
+        return overflow_apply_batched(
+            out, table, w.astype(table.dtype), src, dst, kk, valid,
+            _ov_bound(valid),
+        )
     return overflow_apply(
         out, table, w.astype(table.dtype), src, dst, kk, valid
     )
@@ -277,6 +294,13 @@ def _overflow_dw_any(x, gy, src, dst, kk, valid, k, interpret):
         return _jnp.zeros((k, x.shape[-1], gy.shape[-1]), _jnp.float32)
     if interpret:
         return _overflow_dw(x, gy, src, dst, kk, valid, k)
+    if _use_batched_sidecar(x.shape[-1]):
+        from .window_conv import _ov_bound
+        from .window_sidecar import overflow_dw_batched
+
+        return overflow_dw_batched(
+            x, gy, k, src, dst, kk, valid, _ov_bound(valid)
+        )
     return overflow_dw(x, gy, k, src, dst, kk, valid)
 
 
