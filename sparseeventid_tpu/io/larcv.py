@@ -27,6 +27,29 @@ field IS the class label; producer ``event`` carries the true particle with
 The writer emits the same layout (used for golden tests, for converting
 detector data, and for inference output writing — the larcv_writer
 capability of the legacy stack, torch_inference.py:719-776).
+
+Real-file tolerance (no larcv3 install or real file is reachable in this
+environment, so fidelity is contractual, not verified byte-for-byte —
+tests/test_larcv_schema.py reads a verbatim-layout fixture built
+independently of LarcvWriter):
+
+- The ONLY particle fields the reference itself depends on are ``pdg``
+  and ``energy_deposit`` (calculate_weights.py:5-13,
+  larcv_fetcher.py:307-314); any extra compound fields (track_id, px/py/
+  pz, creation_process, ...) are tolerated and ignored.  Vertex comes
+  from a ``vertex`` field (our writer) or real larcv3's separate
+  ``vtx_x``/``vtx_y``/``vtx_z`` scalars.
+- Particle rows are indexed through the group's ``extents`` (first row
+  per event), never by assuming row i == event i.
+- Extents field names are matched case-insensitively (``first``/``n``).
+- Detector meta need NOT be in the file: the reference hard-codes it per
+  detector (larcv_fetcher.py:16-57) and so do we (config DETECTOR_META);
+  pass ``image_size=`` to the reader.  A file-side ``meta`` JSON attr
+  (our writer) or an ``image_meta`` dataset of JSON strings is parsed
+  when present.
+- Voxel compound fields are matched by NAME (``id``/``value``) both here
+  (h5py) and in the native reader (_hostio.cpp H5Tcreate memtype), so
+  on-disk padding/packing differences don't matter.
 """
 
 from __future__ import annotations
@@ -52,6 +75,67 @@ PARTICLE_DTYPE = np.dtype(
 )
 
 LABEL_PRODUCERS = ("neutID", "protID", "cpiID", "npiID")
+
+
+def _extent_fields(dtype) -> Tuple[str, str]:
+    """Case-insensitive (first, n) field names of an extents compound."""
+    names = {n.lower(): n for n in dtype.names}
+    try:
+        return names["first"], names["n"]
+    except KeyError:
+        raise KeyError(
+            f"extents dataset has fields {dtype.names}, expected first/n"
+        )
+
+
+def _read_extents(dataset) -> np.ndarray:
+    """Extents as a canonical (first u64, n u32) array."""
+    raw = dataset[:]
+    f, n = _extent_fields(raw.dtype)
+    out = np.empty(len(raw), EXTENT_DTYPE)
+    out["first"] = raw[f].astype(np.uint64)
+    out["n"] = raw[n].astype(np.uint32)
+    return out
+
+
+def _particle_vertex(particles: np.ndarray) -> Optional[np.ndarray]:
+    """Per-row vertex from a particle compound: our writer's ``vertex``
+    triple, or real larcv3's ``vtx_x``/``vtx_y``/``vtx_z`` scalars."""
+    names = particles.dtype.names
+    if "vertex" in names:
+        return particles["vertex"].astype(np.float32)
+    if all(k in names for k in ("vtx_x", "vtx_y", "vtx_z")):
+        return np.stack(
+            [particles[k].astype(np.float32) for k in ("vtx_x", "vtx_y", "vtx_z")],
+            axis=-1,
+        )
+    return None
+
+
+def _parse_group_meta(group) -> Optional[Dict]:
+    """Best-effort detector meta from a sparse-tensor group: our writer's
+    JSON ``meta`` attr, or an ``image_meta``/``metas`` dataset of JSON
+    strings.  None when absent/unrecognized (caller falls back to the
+    config's hard-coded detector meta, as the reference does)."""
+    if "meta" in group.attrs:
+        try:
+            return json.loads(group.attrs["meta"])
+        except (TypeError, ValueError):
+            return None
+    for name in ("image_meta", "metas", "meta"):
+        if name in group:
+            try:
+                raw = group[name][0]
+                if isinstance(raw, bytes):
+                    raw = raw.decode()
+                m = json.loads(raw)
+                # larcv3 ImageMeta JSON uses number_of_voxels
+                if "n_voxels" not in m and "number_of_voxels" in m:
+                    m["n_voxels"] = m["number_of_voxels"]
+                return m if "n_voxels" in m else None
+            except Exception:
+                return None
+    return None
 
 
 class LarcvWriter:
@@ -151,6 +235,7 @@ class LarcvDataset:
         max_voxels: int = 50000,
         normalize: bool = True,
         read_labels: bool = True,
+        image_size: Optional[Tuple[int, ...]] = None,
     ):
         import h5py
 
@@ -167,35 +252,60 @@ class LarcvDataset:
                 f"{gname} not in {self.path}; groups: {list(data.keys())}"
             )
         g = data[gname]
-        self.extents = g["extents"][:]
-        self.voxel_extents = g["voxel_extents"][:]
+        self.extents = _read_extents(g["extents"])
+        self.voxel_extents = _read_extents(g["voxel_extents"])
         self.voxels = g["voxels"]  # lazy: potentially huge
-        self.meta = json.loads(g.attrs["meta"]) if "meta" in g.attrs else None
+        self.meta = _parse_group_meta(g)
         self.n_projections = int(self.extents["n"][0]) if len(self.extents) else 1
+
+        def first_particle_rows(pg) -> tuple:
+            """(particles, per-event first-row index).  Real larcv3 maps
+            events to particle rows through extents; these label/event
+            producers carry one particle per event but we never assume
+            row i == event i."""
+            particles = pg["particles"][:]
+            ext = _read_extents(pg["extents"]) if "extents" in pg else None
+            if ext is not None and len(ext) == len(self.extents):
+                rows = ext["first"].astype(np.int64)
+            else:
+                rows = np.arange(len(particles), dtype=np.int64)
+            return particles, rows
 
         self.labels: Dict[str, np.ndarray] = {}
         if read_labels:
             for key in LABEL_PRODUCERS:
                 pg_name = f"particle_{key}_group"
                 if pg_name in data:
+                    particles, rows = first_particle_rows(data[pg_name])
                     self.labels[f"label{key}"] = (
-                        data[pg_name]["particles"]["pdg"][:].astype(np.int32)
+                        particles["pdg"][rows].astype(np.int32)
                     )
         self.energy = None
         self.vertex = None
         if "particle_event_group" in data:
-            particles = data["particle_event_group"]["particles"]
-            self.energy = particles["energy_deposit"][:]
-            if "vertex" in particles.dtype.names:
+            particles, rows = first_particle_rows(data["particle_event_group"])
+            self.energy = particles["energy_deposit"][rows].astype(np.float64)
+            vtx = _particle_vertex(particles)
+            if vtx is not None:
                 # yolo-task regression target (voxel units here; the
                 # reference builds it from particle data,
                 # vertex_finding.py:294-359)
-                self.vertex = particles["vertex"][:].astype(np.float32)
+                self.vertex = vtx[rows]
 
         if self.meta is not None:
-            self._grid = tuple(self.meta["n_voxels"])
+            # in-file meta wins when present (our writer emits it; golden
+            # files may be smaller than the detector grid)
+            self._grid = tuple(int(v) for v in np.ravel(self.meta["n_voxels"]))
+        elif image_size is not None:
+            # fallback for real larcv3 files, which carry no meta the
+            # reference reads — it hard-codes the grid per detector
+            # (larcv_fetcher.py:16-57) and so do we (config DETECTOR_META)
+            self._grid = tuple(int(v) for v in image_size)
         else:
-            self._grid = None
+            raise ValueError(
+                f"{self.path}: no parseable meta in {gname} — pass "
+                f"image_size= (the detector grid, DETECTOR_META in config)"
+            )
 
     def __len__(self) -> int:
         return len(self.extents)

@@ -144,6 +144,14 @@ class Trainer:
                     dimension=cfg.data.dimension,
                     max_voxels=cfg.data.max_voxels,
                     normalize=cfg.data.normalize,
+                    # detector grid from config — real larcv3 files need
+                    # no parseable meta (the reference hard-codes it too,
+                    # larcv_fetcher.py:16-57)
+                    image_size=(
+                        self.image_shape
+                        if cfg.data.dimension == 3
+                        else self.image_shape[1:]
+                    ),
                 )
         return datasets
 
