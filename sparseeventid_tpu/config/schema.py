@@ -210,11 +210,32 @@ class Data:
 
 
 @dataclass
+class KernelTuning:
+    """Window-engine tuning (ops/pallas/window_conv.WindowTuning).
+
+    ONE source of truth for the knobs the host C++ plan builder and the
+    Pallas conv kernels must agree on; the trainer/bench install these via
+    ``configure_tuning`` before building models or plans.  ``SEID_*`` env
+    vars remain as bisect overrides on top.  None = the kernel default /
+    size-based auto dispatch."""
+
+    window_r: Optional[int] = None  # series-conv window rows (shallow)
+    window_r_strided: Optional[int] = None  # strided fwd plan window rows
+    window_r_initial: Optional[int] = None  # 5^d initial-conv window rows
+    window_r_deep: Optional[int] = None  # series window at deep levels
+    window_r_deep_from: Optional[int] = None  # first deep level
+    p_series: Optional[int] = None  # query tiles per grid step (K<=32)
+    fused_bwd: Optional[bool] = None  # fused dX+dW backward kernels
+    batched_sidecar: Optional[bool] = None  # v2 batched overflow sidecars
+
+
+@dataclass
 class Framework:
     name: str = "jax"
     mode: DataMode = DataMode.sparse
     distributed_mode: DistributedMode = DistributedMode.shard_map
     oversubscribe: int = 1
+    tuning: KernelTuning = field(default_factory=KernelTuning)
     # voxel capacity schedule: per-downsample-level shrink factor for the
     # static COO capacity (1.0 = keep full capacity at every level)
     capacity_shrink: float = 0.5

@@ -35,7 +35,7 @@ from ..ops.engine import (
     build_series_plan,
     plan_overflow_dropped,
 )
-from ..ops.pallas.window_conv import WINDOW_R_INITIAL, window_r_for_level
+from ..ops.pallas.window_conv import window_r_for_level, window_r_initial
 from .blocks import (
     ConvolutionDownsample,
     PoolingDownsample,
@@ -139,7 +139,7 @@ class Encoder(nn.Module):
             rb = build_series_plan(
                 st, self._kernel(5, 0), backend=self.backend,
                 q_bound_frac=self._qb_frac(0),
-                window_r=WINDOW_R_INITIAL,
+                window_r=window_r_initial(),
             )
         self._sow_overflow(rb)
         w0 = self.param(

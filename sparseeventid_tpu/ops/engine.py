@@ -50,9 +50,9 @@ def query_bound(capacity: int, frac: float | None) -> int | None:
     n_active over the bound so a misconfigured fraction is never silent."""
     if frac is None or frac >= 1.0:
         return None
-    from .pallas.window_conv import TILE_T, TILES_PER_STEP
+    from .pallas.window_conv import TILE_T, TUNING
 
-    step = TILE_T * TILES_PER_STEP
+    step = TILE_T * TUNING.p_series
     b = max(int(capacity * frac), step)
     b = ((b + step - 1) // step) * step
     return None if b >= capacity else b

@@ -21,12 +21,12 @@ import numpy as np
 
 from .pallas.window_conv import (
     INVALID_QUERY,
-    WINDOW_R,
-    WINDOW_R_INITIAL,
-    WINDOW_R_STRIDED,
     compute_query_keys,
     compute_strided_query_keys,
+    window_r_default,
     window_r_for_level,
+    window_r_initial as _tuned_r_initial,
+    window_r_strided as _tuned_r_strided,
 )
 from .pallas.window_engine import WindowPlan
 from .engine import query_bound
@@ -52,12 +52,14 @@ def _plan_from_host(
     qkeys: jax.Array,
     q_active: jax.Array,
     offsets: np.ndarray,
-    window_r: int = WINDOW_R,
+    window_r: int | None = None,
     q_bound_frac: float = 1.0,
 ) -> WindowPlan:
     # ``qkeys`` arrives [B, M, K]; WindowPlan stores the lane-transposed
     # [B, K, M] layout the conv kernels consume (transposed ONCE here,
     # amortized over every conv that shares the plan).
+    if window_r is None:
+        window_r = window_r_default()
     return WindowPlan(
         qkeys=qkeys.transpose(0, 2, 1),
         start=host[f"{prefix}/start"],
@@ -133,13 +135,13 @@ def encoder_plans_from_host(
     scripts that override the builder's sizes must override them here too.
     """
     if window_r_initial is None:
-        window_r_initial = WINDOW_R_INITIAL
+        window_r_initial = _tuned_r_initial()
     if window_r_series is None:
         window_r_series = [window_r_for_level(l) for l in range(depth + 1)]
     if window_r_down is None:
-        window_r_down = WINDOW_R_STRIDED
+        window_r_down = _tuned_r_strided()
     if window_r_rev is None:
-        window_r_rev = WINDOW_R
+        window_r_rev = window_r_default()
     # Layout-consistency guard: the host built starts for cdiv(caps[0], T)
     # query tiles and clamped them against ITS table length (a function of
     # caps[0]).  A SparseTensor at a different capacity would stage windows

@@ -64,39 +64,127 @@ ANCHOR_A = 128
 # and the serial fori_loop eats the savings.  Deep levels (>= DEEP_FROM)
 # keep R=160 — their per-tile match spans are wider relative to capacity
 # (ov_occupancy: L3 is 381/390 at R=144, one bad event from dropping).
-WINDOW_R = int(_os.environ.get("SEID_WINDOW_R", "144"))
-WINDOW_R_STRIDED = int(_os.environ.get("SEID_WINDOW_R_STRIDED", "320"))
-# Initial 5^d conv: per-tile match spans are ~half the series conv's
-# (scripts/window_r_analysis.py: p50=55 vs 90-122) and the C=1 path's
-# compare/select cost is linear in K*R with K=125 — a smaller window pays
-# off 5x there.  R=144 measured -4 ms/step vs 176 with sidecar occupancy
-# 520/12288 (scripts/ov_occupancy.py) — exactness-safe with 20x margin.
-WINDOW_R_INITIAL = int(_os.environ.get("SEID_WINDOW_R_INITIAL", "144"))
-# Per-level series windows: the MXU one-hot dot is PASS-quantized
-# (ceil(R/128) passes per offset), so R=128 halves the dominant dot at the
-# shallow levels.  Deep levels can't follow: their sidecar caps (capacity//8)
-# sit below the out-of-window pair counts at R=128 (scripts/ov_occupancy.py:
-# L2+ drop pairs), and the serial sidecar loop would eat the savings — they
-# keep the default R.  SEID_WINDOW_R_DEEP / _DEEP_FROM tune the split.
-WINDOW_R_DEEP = int(
-    _os.environ.get("SEID_WINDOW_R_DEEP", str(max(WINDOW_R, 160)))
-)
-WINDOW_R_DEEP_FROM = int(_os.environ.get("SEID_WINDOW_R_DEEP_FROM", "3"))
+import dataclasses as _dataclasses
+from typing import Optional as _Optional
+
+
+@_dataclasses.dataclass
+class WindowTuning:
+    """One source of truth for the window-engine tuning knobs.
+
+    Precedence: ``SEID_*`` env vars (bisect/bench overrides) > values
+    configured from the config tree (``configure_tuning``, called by the
+    trainer/bench from ``framework.tuning``) > these defaults.  Host plan
+    builders and the conv kernels both read the SAME resolved values, and
+    ``host_plans`` guards layout agreement — a window_r set for a bench
+    but not the trainer can no longer silently corrupt convs (the round-2
+    hazard class, PERF_NOTES 'Fixed hazards')."""
+
+    window_r: int = 144
+    window_r_strided: int = 320
+    window_r_initial: int = 144
+    window_r_deep: int = 160
+    window_r_deep_from: int = 3
+    p_series: int = 4  # query tiles per grid step for K<=32 kernels
+    # tri-state kernel-formulation switches (None = size-based auto)
+    group: _Optional[bool] = None
+    ct: _Optional[bool] = None
+    wfuse: _Optional[bool] = None
+    fused_bwd: _Optional[bool] = None
+    batched_sidecar: _Optional[bool] = None
+
+
+_ENV_INT = {
+    "SEID_WINDOW_R": "window_r",
+    "SEID_WINDOW_R_STRIDED": "window_r_strided",
+    "SEID_WINDOW_R_INITIAL": "window_r_initial",
+    "SEID_WINDOW_R_DEEP": "window_r_deep",
+    "SEID_WINDOW_R_DEEP_FROM": "window_r_deep_from",
+    "SEID_P_SERIES": "p_series",
+}
+
+
+def _apply_env(t: WindowTuning) -> WindowTuning:
+    for var, field in _ENV_INT.items():
+        if _os.environ.get(var):
+            setattr(t, field, int(_os.environ[var]))
+    if not _os.environ.get("SEID_WINDOW_R_DEEP"):
+        t.window_r_deep = max(t.window_r, t.window_r_deep)
+    # tri-states: env forces, otherwise leave the configured/auto value
+    if _os.environ.get("SEID_GROUP") is not None:
+        t.group = _os.environ["SEID_GROUP"] == "1"
+    if _os.environ.get("SEID_CT") is not None:
+        t.ct = _os.environ["SEID_CT"] == "1"
+    if _os.environ.get("SEID_WFUSE") is not None:
+        t.wfuse = _os.environ["SEID_WFUSE"] == "1"
+    if _os.environ.get("SEID_FUSED_BWD") is not None:
+        t.fused_bwd = _os.environ["SEID_FUSED_BWD"] == "1"
+    if _os.environ.get("SEID_SIDECAR") == "serial":
+        t.batched_sidecar = False
+    return t
+
+
+TUNING = _apply_env(WindowTuning())
+
+
+def configure_tuning(**overrides) -> WindowTuning:
+    """Install config-tree tuning values (env vars still win).
+
+    Called by the trainer/bench with the ``framework.tuning`` group.
+    Unknown keys are rejected loudly.  Returns the resolved tuning."""
+    global TUNING
+    base = WindowTuning()
+    for key, val in overrides.items():
+        if not hasattr(base, key):
+            raise KeyError(f"unknown window tuning knob {key!r}")
+        if val is not None:
+            setattr(base, key, val)
+    TUNING = _apply_env(base)
+    return TUNING
+
+
+# Legacy module-level aliases (import-time snapshots — new code should call
+# the accessors below, which follow configure_tuning):
+WINDOW_R = TUNING.window_r
+WINDOW_R_STRIDED = TUNING.window_r_strided
+TILES_PER_STEP = TUNING.p_series
+
+
+def window_r_default() -> int:
+    return TUNING.window_r
+
+
+def window_r_strided() -> int:
+    return TUNING.window_r_strided
+
+
+def window_r_initial() -> int:
+    return TUNING.window_r_initial
+# Initial 5^d conv window (tuning.window_r_initial): per-tile match spans
+# are ~half the series conv's (scripts/window_r_analysis.py: p50=55 vs
+# 90-122) and the C=1 path's compare/select cost is linear in K*R with
+# K=125 — a smaller window pays off 5x there.  R=144 measured -4 ms/step
+# vs 176 with sidecar occupancy 520/12288 — exactness-safe at 20x margin.
+#
+# Per-level series windows (window_r / window_r_deep / _deep_from): the
+# MXU one-hot dot is PASS-quantized (ceil(R/128) passes per offset), so
+# R=128 halves the dominant dot at the shallow levels.  Deep levels can't
+# follow: their sidecar caps (capacity//8) sit below the out-of-window
+# pair counts at R=128 (scripts/ov_occupancy.py: L2+ drop pairs) — they
+# keep a wider R.
+WINDOW_R_INITIAL = TUNING.window_r_initial  # legacy import-time alias
 
 
 def window_r_for_level(level: int) -> int:
     """Series-conv window size for an encoder level."""
-    return WINDOW_R if level < WINDOW_R_DEEP_FROM else WINDOW_R_DEEP
+    t = TUNING
+    return t.window_r if level < t.window_r_deep_from else t.window_r_deep
+
+
 # strided fwd: parent table is ~2x denser than the child queries, so
 # per-tile spans approach 2*T
 PLAN_R = 384
 START_ALIGN = 16
-# Query tiles processed per grid step.  Mosaic's per-grid-step fixed cost
-# (~1.4-4.5 us/step measured with an empty body at level-0 shapes) made the
-# 1-tile-per-step grid overhead-bound; fatter steps amortize it.
-# SEID_P_SERIES overrides for K<=32 kernels only (the K=125 initial conv
-# stays at P=1 — its unrolled body scales with K*P and blows up compiles).
-TILES_PER_STEP = int(_os.environ.get("SEID_P_SERIES", "4"))
 
 
 def _group_size(k: int, c: int) -> int:
@@ -105,11 +193,10 @@ def _group_size(k: int, c: int) -> int:
     kernel_variants.py) showed the block-diagonal grouped form is never
     faster once the ~2.8 ms per-executable launch latency is subtracted
     (grouped 4.29 ms vs batched 4.22 at C=32, and batched responds to
-    WINDOW_R shrinks while grouped does not).  SEID_GROUP=1 re-enables
-    grouping (C must divide the 32-lane store granule) for experiments."""
-    import os
-
-    if os.environ.get("SEID_GROUP") != "1":
+    WINDOW_R shrinks while grouped does not).  tuning.group=True (or
+    SEID_GROUP=1) re-enables grouping (C must divide the 32-lane store
+    granule) for experiments."""
+    if TUNING.group is not True:
         return 1
     if c < 32 or 128 % c != 0:
         return 1
@@ -122,11 +209,8 @@ def _use_ct(c: int, co: int) -> bool:
     the dots stop wasting 3/4 of the MXU output lanes.  The [B,CO,M] ->
     [B,M,CO] layout fix-up happens OUTSIDE the kernel as one cheap XLA
     transpose.  Needs C,CO multiples of 16 (bf16 sublane tile) for the
-    block-row scratch stores.  SEID_CT=0 forces the legacy orientation."""
-    import os
-
-    env = os.environ.get("SEID_CT")
-    if env == "0":
+    block-row scratch stores.  tuning.ct / SEID_CT=0 force."""
+    if TUNING.ct is False:
         return False
     # c == 1 rides the CT output layout too, with a select-based gather
     # (see _conv_kernel): the [K,R,1] gather dot would use 1/128 MXU lanes.
@@ -142,10 +226,10 @@ def _use_wfuse(k: int, c: int, co: int) -> bool:
     per conv): C=32..128 weight-fused wins (L0 8.7 vs 14.7 ms legacy);
     C=160 it LOSES 2x (9.9 vs 5.7) — the premultiply dominates.  The
     budget 27*128*128 keeps every measured winner and routes C>=160
-    series convs to the two-step CT form.  SEID_WFUSE=0/1 forces."""
-    env = _os.environ.get("SEID_WFUSE")
-    if env is not None:
-        return env == "1"
+    series convs to the two-step CT form.  tuning.wfuse / SEID_WFUSE
+    force."""
+    if TUNING.wfuse is not None:
+        return TUNING.wfuse
     return k * c * co <= 27 * 128 * 128
 
 
@@ -155,12 +239,10 @@ def _tiles_per_step(k: int) -> int:
     K=125 the unrolled body scales with K*P and the compile blows up
     (a K=125 P=4 module timed out the compile service), so the 5^3
     initial conv stays at P=1.  SEID_P forces a value for bisects."""
-    import os
-
-    env = os.environ.get("SEID_P")
+    env = _os.environ.get("SEID_P")
     if env:
         return int(env)
-    return 1 if k > 32 else TILES_PER_STEP
+    return 1 if k > 32 else TUNING.p_series
 
 
 # Sentinel for invalid queries: never equals a real key (>= 0) nor the

@@ -31,8 +31,9 @@ from ..sparse_tensor import INVALID_KEY, SparseTensor, linearize
 from .window_conv import (
     INVALID_QUERY,
     WINDOW_R,
-    WINDOW_R_STRIDED,
     _padded_table,
+    window_r_default,
+    window_r_strided,
     compute_query_keys,
     compute_strided_query_keys,
     overflow_apply,
@@ -127,7 +128,7 @@ def build_submanifold_window_plan(
 ) -> WindowPlan:
     """Plan for a submanifold conv (output sites == input sites)."""
     if window_r is None:
-        window_r = WINDOW_R
+        window_r = window_r_default()
     offs = kernel_offsets(kernel_size, centered=True)
     qkeys = compute_query_keys(st, offs)
     keys = st.keys()
@@ -171,7 +172,7 @@ def build_strided_window_plans(
     pk_in, _ = _padded_table(keys_in, st.feats[..., :1])
     start_f, uncov_f = window_plan(
         pk_in, qkeys_f, skeleton.n_active, interpret=interpret,
-        window_r=WINDOW_R_STRIDED, table_cap=st.capacity,
+        window_r=window_r_strided(), table_cap=st.capacity,
     )
     src, dst, kk, val, drop = _compact_overflow(
         keys_in, qkeys_f, uncov_f, overflow_cap
@@ -180,7 +181,7 @@ def build_strided_window_plans(
         qkeys_f.transpose(0, 2, 1), start_f, skeleton.n_active,
         src, dst, kk, val, drop,
         offsets=tuple(map(tuple, offs.tolist())),
-        window_r=WINDOW_R_STRIDED, q_bound=q_bound,
+        window_r=window_r_strided(), q_bound=q_bound,
     )
 
     # reverse queries: input row -> parent key, one-hot over offset columns
@@ -211,7 +212,7 @@ def build_strided_window_plans(
     rev = WindowPlan(
         qkeys_r.transpose(0, 2, 1), start_r, st.n_active,
         src_r, dst_r, kk_r, val_r, drop_r,
-        offsets=tuple(map(tuple, offs.tolist())), window_r=WINDOW_R,
+        offsets=tuple(map(tuple, offs.tolist())), window_r=window_r_default(),
         q_bound=rev_q_bound,
     )
     return fwd, rev
@@ -256,10 +257,17 @@ def _overflow_dw(table_feats, g_out, src, dst, kk, valid, k):
 def _use_batched_sidecar(c: int) -> bool:
     """v2 batched sidecars (window_sidecar) on hardware for C > 1; the
     serial v1 kernels remain for the C=1 initial conv (one-lane dots) and
-    as the SEID_SIDECAR=serial bisect."""
+    as the tuning.batched_sidecar=False / SEID_SIDECAR=serial bisect.
+    Env is re-read per call (bench.py flips it mid-process on fallback)."""
     import os
 
-    return c != 1 and os.environ.get("SEID_SIDECAR") != "serial"
+    from .window_conv import TUNING
+
+    if os.environ.get("SEID_SIDECAR") == "serial":
+        return False
+    if TUNING.batched_sidecar is False:
+        return False
+    return c != 1
 
 
 def _apply_overflow_any(out, table, w, src, dst, kk, valid, interpret):
@@ -342,12 +350,15 @@ def _fused_bwd_ok(k: int, c: int, co: int) -> bool:
     """The fused one-compare-pass backward kernels need the CT orientation
     (C, CO sublane-tile multiples; the c==1 select path has no one-hot to
     share) and the G=1 batched-K formulation.  SEID_FUSED_BWD=0 bisects
-    back to the separate dX / dW kernels."""
+    back to the separate dX / dW kernels.  Env is re-read per call —
+    bench.py sets it mid-process as a crash fallback."""
     import os
 
-    from .window_conv import _group_size, _use_ct
+    from .window_conv import TUNING, _group_size, _use_ct
 
     if os.environ.get("SEID_FUSED_BWD") == "0":
+        return False
+    if TUNING.fused_bwd is False:
         return False
     return (
         _group_size(k, c) == 1

@@ -65,6 +65,12 @@ class Trainer:
 
     def __init__(self, cfg: SparseEventIDConfig):
         self.cfg = cfg
+        # Install the config tree's kernel tuning BEFORE any model or plan
+        # construction — host plan builders and conv kernels must read the
+        # same window sizes (ops/pallas/window_conv.WindowTuning).
+        from ..ops.pallas.window_conv import configure_tuning
+
+        configure_tuning(**dataclasses.asdict(cfg.framework.tuning))
         self.output_dir = (
             Path(cfg.output_dir) / cfg.data.detector.name / str(cfg.run.id)
         )
@@ -266,10 +272,10 @@ class Trainer:
     def _plan_geometry(self):
         from ..ops import engine as _eng
         from ..ops.pallas.window_conv import (
-            WINDOW_R,
-            WINDOW_R_INITIAL,
-            WINDOW_R_STRIDED,
+            window_r_default,
             window_r_for_level,
+            window_r_initial,
+            window_r_strided,
         )
 
         caps = self._capacities()
@@ -282,15 +288,15 @@ class Trainer:
             initial_kernel=ik,
             series_kernel=sks,
             stride=stride,
-            window_r=WINDOW_R,
+            window_r=window_r_default(),
             ov_caps=[
                 _eng._overflow_cap(c, int(np.prod(sk)))
                 for c, sk in zip(caps, sks)
             ],
             ov_cap_initial=_eng._overflow_cap(caps[0], k_i),
             ov_caps_down=[_eng._overflow_cap(c, k_d) for c in caps[:-1]],
-            window_r_down=WINDOW_R_STRIDED,
-            window_r_initial=WINDOW_R_INITIAL,
+            window_r_down=window_r_strided(),
+            window_r_initial=window_r_initial(),
             window_r_series=[window_r_for_level(l) for l in range(len(caps))],
         )
 
