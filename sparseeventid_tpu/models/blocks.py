@@ -231,14 +231,26 @@ class ConvolutionDownsample(nn.Module):
 
 class PoolingDownsample(nn.Module):
     """AveragePooling + 1x1 filter update (reference Pooling :142-168,
-    implemented working — the reference version has a broken kwarg)."""
+    implemented working — the reference version has a broken kwarg).
+
+    Fast path: average pooling divides by the FULL pool volume V (scn
+    semantics, ops/conv.average_pool), so pool + 1x1 conv is algebraically
+    a strided conv with weights tied across offsets:
+
+        out[j] = (sum_k x[child_k(j)] / V) @ w  =  sum_k x @ (w / V)
+
+    i.e. ``apply_strided`` with ``W[k] = w/V`` for every k — the SAME
+    window kernels + host plans as ConvolutionDownsample, no new kernel.
+    The gradient to the shared ``w`` sums over k automatically through the
+    broadcast.  The XLA gather path remains for precomputed=None +
+    backend='xla' (tests, CPU)."""
 
     n_out: int
     stride: Tuple[int, ...]
     params: ConvRepresentation
     out_capacity: int | None = None
     axis_name: str | None = None
-    backend: str = "xla"  # pooling keeps the XLA gather path (cold)
+    backend: str = "xla"
     q_bound_frac_in: float = 1.0
     q_bound_frac_out: float = 1.0
 
@@ -246,29 +258,52 @@ class PoolingDownsample(nn.Module):
     def __call__(
         self, st: SparseTensor, train: bool, precomputed=None
     ) -> SparseTensor:
-        # pooling is a cold path: host plans are ignored, the site set is
-        # rebuilt on device (identical ascending-key order)
-        skeleton, rb, ds_dropped = build_downsample_plan(
-            st, self.stride, self.out_capacity, backend="xla"
-        )
-        self.sow(
-            "diagnostics", "dropped", jnp.sum(ds_dropped),
-            reduce_fn=lambda a, b: a + b,
-            init_fn=lambda: jnp.zeros((), jnp.int32),
-        )
-        pooled = average_pool(st, skeleton, rb, self.stride)
-        # 1x1 "filter update" block: K=1 pointwise conv
+        k = 1
+        for sdim in self.stride:
+            k *= int(sdim)
         w = self.param("w", conv_init, (1, st.num_channels, self.n_out))
         b = (
             self.param("b", nn.initializers.zeros, (self.n_out,))
             if self.params.bias
             else None
         )
-        out_feats = jnp.einsum("bnc,co->bno", pooled.feats, w[0])
+        if precomputed is not None or self.backend == "window":
+            # tied-weight strided conv on the window engine (host plans or
+            # device-built plans)
+            if precomputed is not None:
+                skeleton, plan = precomputed
+                dropped = plan_overflow_dropped(plan)
+            else:
+                skeleton, plan, ds_dropped = build_downsample_plan(
+                    st, self.stride, self.out_capacity, backend=self.backend,
+                    q_bound_frac_in=self.q_bound_frac_in,
+                    q_bound_frac_out=self.q_bound_frac_out,
+                )
+                dropped = jnp.sum(ds_dropped) + plan_overflow_dropped(plan)
+            self.sow(
+                "diagnostics", "dropped", dropped,
+                reduce_fn=lambda a, b: a + b,
+                init_fn=lambda: jnp.zeros((), jnp.int32),
+            )
+            wk = jnp.broadcast_to(w[0] / k, (k, *w.shape[1:]))
+            out = apply_strided(st, skeleton, plan, wk)
+            out_feats = out.feats
+        else:
+            skeleton, rb, ds_dropped = build_downsample_plan(
+                st, self.stride, self.out_capacity, backend="xla"
+            )
+            self.sow(
+                "diagnostics", "dropped", jnp.sum(ds_dropped),
+                reduce_fn=lambda a, b: a + b,
+                init_fn=lambda: jnp.zeros((), jnp.int32),
+            )
+            pooled = average_pool(st, skeleton, rb, self.stride)
+            out = pooled
+            out_feats = jnp.einsum("bnc,co->bno", pooled.feats, w[0])
         if b is not None:
             out_feats = out_feats + b
-        out = pooled.with_feats(
-            jnp.where(pooled.row_mask()[..., None], out_feats, 0)
+        out = out.with_feats(
+            jnp.where(out.row_mask()[..., None], out_feats, 0)
         )
         norm = _make_norm(self.params.normalization, "norm", self.axis_name)
         if norm is not None:
