@@ -54,8 +54,11 @@ def generate_event(
     n_npi = int(rng.random() < 0.25)  # neutral pion present: 2 classes
 
     # track multiplicity/energy depends on the class content so labels are
-    # learnable from topology
+    # learnable from topology; mean_tracks scales the whole event up for
+    # detector-occupancy studies (default 3.0 = multiplier 1, ~1-7 tracks)
     n_tracks = 1 + neut_class + n_protons + n_cpi + 2 * n_npi
+    if cfg.mean_tracks != 3.0:
+        n_tracks = max(n_tracks, round(n_tracks * cfg.mean_tracks / 3.0))
     pts = []
     vals = []
     for t in range(n_tracks):
