@@ -25,12 +25,59 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
+PRESET = os.environ.get("ACC_PRESET", "small")
+
+ACC_TRAIN_FILE = "/tmp/acc_dune3d_train.h5"
+ACC_VAL_FILE = "/tmp/acc_dune3d_val.h5"
+
+
+def _ensure_dune3d_files():
+    """Full-grid dune3d-occupancy larcv files (generated once; reading
+    them back through the production loader is ~100x faster than
+    regenerating events per epoch on this 1-core host)."""
+    from sparseeventid_tpu.io.larcv import write_synthetic_larcv_file
+
+    for path, n, seed in ((ACC_TRAIN_FILE, 768, 101), (ACC_VAL_FILE, 256, 202)):
+        if not os.path.exists(path):
+            print(f"generating {path} ({n} events)...", flush=True)
+            write_synthetic_larcv_file(
+                path, n_events=n, image_size=(1024, 512, 1280), seed=seed,
+                mean_tracks=40.0, steps_per_track=900, max_voxels=50000,
+            )
+
+
 def build_trainer(backend: str, run_id: str, steps: int, resume: bool = False):
     import jax
 
     from sparseeventid_tpu.config import load_config
     from sparseeventid_tpu.train.trainer import Trainer
 
+    if PRESET == "dune3d":
+        # VERDICT r2 #5: the RECIPE config — depth 5, 4 blocks/level,
+        # full 1024x512x1280 grid, bf16, window backend + host plans.
+        # (The xla-backend comparison stays at the small preset: at this
+        # scale the device-plan XLA path compiles ~100 s/shape and runs
+        # ~10x slower — kernel-level equality at dune3d geometry is
+        # already bit-exact on hardware, scripts/check_window_tpu.py.)
+        _ensure_dune3d_files()
+        cfg = load_config(
+            "dune3d",
+            [
+                f"run.id={run_id}",
+                f"data.train={ACC_TRAIN_FILE}",
+                f"data.val={ACC_VAL_FILE}",
+                "run.minibatch_size=8",
+                "run.precision=bfloat16",
+                "run.seed=0",
+                "data.seed=0",
+                f"framework.sparse_backend={backend}",
+                "framework.remat=false",
+                f"mode.iterations={steps}",
+                "mode.checkpoint_iteration=500",
+                "output_dir=/tmp/acc_out",
+            ],
+        )
+        return Trainer(cfg)
     cfg = load_config(
         "synthetic",
         [
@@ -140,18 +187,46 @@ def main():
     }
 
     tr_w, val_w, final_w = run_training("window", "acc_window", args.steps)
-    tr_x, val_x, final_x = run_training("xla", "acc_xla", args.xla_steps)
-    # window curve restricted to the xla horizon for the comparison
-    w_short = [m for m in tr_w if m["step"] < args.xla_steps]
-    resumed_at, final_step = run_resume_check("acc_resume", 120, 240)
+    if PRESET == "dune3d":
+        # full-recipe run: at this scale the xla device-plan path is
+        # impractical (see build_trainer note) — kernel equality at dune3d
+        # geometry is covered bit-exactly by check_window_tpu.py
+        tr_x, val_x, final_x = [], [], {}
+        w_short = []
+        resumed_at, final_step = run_resume_check("acc_resume", 60, 120)
+    else:
+        tr_x, val_x, final_x = run_training("xla", "acc_xla", args.xla_steps)
+        # window curve restricted to the xla horizon for the comparison
+        w_short = [m for m in tr_w if m["step"] < args.xla_steps]
+        resumed_at, final_step = run_resume_check("acc_resume", 120, 240)
 
-    lines = [
-        "# Accuracy evidence (synthetic dune3d-shaped run)",
-        "",
-        "Flagship sparse classifier (window backend, bf16, batch 8, depth 3,",
-        "2048 train / 256 val synthetic events, grid from the synthetic",
-        f"recipe) trained {args.steps} steps. Chance levels: neut/prot 33.3%,",
-        "cpi/npi 50%.",
+    header = (
+        [
+            "# Accuracy evidence — FULL dune3d recipe",
+            "",
+            "Flagship sparse classifier at the RECIPE config: depth 5,",
+            "4 blocks/level, 32->192 filters, full 1024x512x1280 grid,",
+            "bf16, window backend + host plans, batch 8;",
+            "768 train / 256 val synthetic dune3d-occupancy events",
+            f"(~15-25k voxels each) trained {args.steps} steps.",
+            "Chance levels: neut/prot 33.3%, cpi/npi 50%.",
+            "",
+            "Window-vs-XLA at this scale: the conv kernels are bit-exact",
+            "on hardware at exactly this geometry (check_window_tpu.py,",
+            "PERF_NOTES r3); the loop-level window==xla comparison lives",
+            "in the small preset (ACCURACY.md).",
+        ]
+        if PRESET == "dune3d"
+        else [
+            "# Accuracy evidence (synthetic dune3d-shaped run)",
+            "",
+            "Flagship sparse classifier (window backend, bf16, batch 8, depth 3,",
+            "2048 train / 256 val synthetic events, grid from the synthetic",
+            f"recipe) trained {args.steps} steps. Chance levels: neut/prot 33.3%,",
+            "cpi/npi 50%.",
+        ]
+    )
+    lines = header + [
         "",
         "## Final val accuracy (mean over 16 val batches)",
         "",
@@ -171,35 +246,49 @@ def main():
     ]
     for m in tr_w[:: max(1, len(tr_w) // 20)]:
         lines.append(f"step {m['step']:5d}  loss {m['loss/loss']:.4f}")
+    lines += ["```", ""]
+    if tr_x:
+        lines += [
+            "## Backend equivalence (window vs xla rulebook)",
+            "",
+            f"Same data/seed trained {args.xla_steps} steps on both engines",
+            "(the conv math is bit-equality-tested in",
+            "scripts/check_window_tpu.py; this exercises the full loop):",
+            "",
+            "| step | window loss | xla loss |",
+            "|---|---|---|",
+        ]
+        for mw, mx in zip(w_short, tr_x):
+            lines.append(
+                f"| {mw['step']} | {mw['loss/loss']:.4f} | {mx['loss/loss']:.4f} |"
+            )
+        dloss = [
+            abs(mw["loss/loss"] - mx["loss/loss"])
+            for mw, mx in zip(w_short, tr_x)
+        ]
+        lines += [
+            "",
+            f"max |window - xla| loss over the horizon: {max(dloss):.4f}",
+        ]
     lines += [
-        "```",
-        "",
-        "## Backend equivalence (window vs xla rulebook)",
-        "",
-        f"Same data/seed trained {args.xla_steps} steps on both engines",
-        "(the conv math is bit-equality-tested in",
-        "scripts/check_window_tpu.py; this exercises the full loop):",
-        "",
-        "| step | window loss | xla loss |",
-        "|---|---|---|",
-    ]
-    for mw, mx in zip(w_short, tr_x):
-        lines.append(
-            f"| {mw['step']} | {mw['loss/loss']:.4f} | {mx['loss/loss']:.4f} |"
-        )
-    dloss = [abs(mw["loss/loss"] - mx["loss/loss"]) for mw, mx in zip(w_short, tr_x)]
-    lines += [
-        "",
-        f"max |window - xla| loss over the horizon: {max(dloss):.4f}",
         "",
         "## Checkpoint-resume",
         "",
-        f"Run trained to step 120, torn down, rebuilt: auto-resumed at step "
+        f"Run trained partway, torn down, rebuilt: auto-resumed at step "
         f"{resumed_at} and continued to {final_step} (keep-5 GC, latest "
         "pointer — utils/checkpoint.py).",
         "",
         "Raw curves: see ACCURACY.json.",
     ]
+    if PRESET == "dune3d" and val_w:
+        lines += ["", "## Val accuracy curve (every 25 steps)", "", "```"]
+        for m in val_w[:: max(1, len(val_w) // 24)]:
+            accs = " ".join(
+                f"{k.split('label')[-1]} {m[k]*100:5.1f}%"
+                for k in sorted(m) if k.startswith("acc/")
+            )
+            lines.append(f"step {m['step']:5d}  loss {m['loss/loss']:.4f}  {accs}")
+        lines.append("```")
     Path(args.out).write_text("\n".join(lines) + "\n")
     Path("ACCURACY.json").write_text(
         json.dumps(
