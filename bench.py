@@ -99,6 +99,12 @@ def main():
             f"framework.remat={'true' if remat else 'false'}",
             f"encoder.query_bound_frac={qbound_frac}",
             f"encoder.query_bound_growth={qbound_growth}",
+            # R=144 shallow/initial is the measured optimum at THIS bench's
+            # ~25k occupancy and drop-free here (overflow_dropped printed
+            # below is the guard); the kernel defaults are sized for full
+            # 26-42k dune3d occupancy where 144 overflows (r3 e2e notes).
+            "framework.tuning.window_r=144",
+            "framework.tuning.window_r_initial=144",
         ],
     )
     import dataclasses

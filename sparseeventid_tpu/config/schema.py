@@ -245,6 +245,10 @@ class Framework:
     # sparse conv engine: 'window' (Pallas sorted-window, primary on TPU)
     # or 'xla' (searchsorted + dynamic gather reference path)
     sparse_backend: str = "window"
+    # host-plan cache budget (MB): plans are pure functions of an event's
+    # static coords, so epochs >= 2 reuse them instead of paying the
+    # ~90 ms/event single-core build (io/plan_cache.py). 0 disables.
+    plan_cache_mb: int = 8192
 
 
 @dataclass

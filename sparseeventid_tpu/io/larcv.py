@@ -430,7 +430,11 @@ class LarcvDataset:
                     image[i, p, :k, 0] = coords[:, 1]
                     image[i, p, :k, 1] = coords[:, 0]
                     image[i, p, :k, d] = vals[:k]
-        out = {"image": image}
+        out = {
+            "image": image,
+            # event ids for downstream per-event memoization (plan cache)
+            "index": np.asarray(indices, np.int64),
+        }
         for key, arr in self.labels.items():
             out[key] = arr[np.asarray(indices, np.int64)]
         if self.energy is not None:

@@ -171,7 +171,11 @@ class SyntheticDataset:
                     image[i, pl, :n, 2] = summed[:n]
                 for k, v in labs.items():
                     labels[k][i] = v
-            out = {"image": image, "energy": energy}
+            out = {
+                "image": image,
+                "energy": energy,
+                "index": np.asarray(indices, np.int64),
+            }
             out.update(labels)
             return out
         image = np.full((b, self.cfg.max_voxels, d + 1), -999.0, np.float32)
@@ -186,6 +190,11 @@ class SyntheticDataset:
             energy[i] = aux["energy"]
             for k, v in labs.items():
                 labels[k][i] = v
-        out = {"image": image, "vertex": vertex, "energy": energy}
+        out = {
+            "image": image,
+            "vertex": vertex,
+            "energy": energy,
+            "index": np.asarray(indices, np.int64),
+        }
         out.update(labels)
         return out

@@ -66,12 +66,15 @@ def _overflow_cap(capacity: int, k: int = 27) -> int:
     dune3d-shaped tracks (scripts/check_window_tpu.py): K=27 fits in
     capacity//16; K=125 overflowed a 1562 cap by ~2.4x.
 
-    capacity//8 (not //16): the sidecar fori_loops are bounded by the
+    capacity//6 (not //16): the sidecar fori_loops are bounded by the
     DYNAMIC entry count (window_conv._ov_bound), so cap headroom is free at
     runtime — and the extra margin is what lets WINDOW_R drop to one MXU
-    pass per offset (R=128) with out-of-window pairs spilling here."""
+    pass per offset (R=128) with out-of-window pairs spilling here.
+    Sized for full dune3d occupancy (26-42k active): //8 with a 12288
+    ceiling dropped pairs on the lvl0 strided-down plan (1333/batch) and
+    clamped the initial 5^3 plan (r3 e2e attribution)."""
     scale = max(1, -(-k // 27))
-    return max(256, min(12288, (capacity // 8) * scale))
+    return max(256, min(16384, (capacity // 6) * scale))
 
 
 def build_series_plan(st: SparseTensor, kernel_size, backend: str = XLA,

@@ -80,9 +80,15 @@ class WindowTuning:
     but not the trainer can no longer silently corrupt convs (the round-2
     hazard class, PERF_NOTES 'Fixed hazards')."""
 
-    window_r: int = 144
+    # Defaults are sized for FULL dune3d occupancy (26-42k active voxels,
+    # /tmp/rinit_sweep r3): R=144 shallow/initial is a cliff there — the
+    # initial 5^3 plan alone dropped ~4.8k overflow pairs/event past its
+    # sidecar cap.  160/176 are drop-free at recipe occupancy; benches at
+    # lighter occupancy may still pick 144 via framework.tuning (their
+    # overflow_dropped output is the exactness guard).
+    window_r: int = 160
     window_r_strided: int = 320
-    window_r_initial: int = 144
+    window_r_initial: int = 176
     window_r_deep: int = 160
     window_r_deep_from: int = 3
     p_series: int = 4  # query tiles per grid step for K<=32 kernels

@@ -86,6 +86,7 @@ class Trainer:
         if hasattr(first, "image_size"):
             self.image_shape = tuple(first.image_size())
         self.loaders: Dict[str, BatchLoader] = {}
+        self._plan_cache = None  # per-event host-plan cache (io/plan_cache)
         self.axis_name = DATA_AXIS if cfg.run.distributed else None
         self.mesh = make_mesh() if cfg.run.distributed else None
         self.writer = SummaryWriter(self.output_dir / "tb")
@@ -168,9 +169,13 @@ class Trainer:
                 "supervised_eventID", "unsupervised_eventID", "yolo"
             ):
                 # build the window plans in the prefetch thread so the C++
-                # workers overlap the device step (larcv3 prefetch parity)
-                transform = lambda b: {
-                    **b, "host_plans": self._compute_host_plans(b["image"])
+                # workers overlap the device step (larcv3 prefetch parity);
+                # per-event plan cache makes epochs >= 2 ~free on the host
+                transform = lambda b, _s=split: {
+                    **b,
+                    "host_plans": self._compute_host_plans(
+                        b["image"], indices=b.get("index"), split=_s
+                    ),
                 }
             self.loaders[split] = BatchLoader(
                 self.datasets[split],
@@ -300,7 +305,9 @@ class Trainer:
             window_r_series=[window_r_for_level(l) for l in range(len(caps))],
         )
 
-    def _compute_host_plans(self, image: np.ndarray):
+    def _compute_host_plans(
+        self, image: np.ndarray, indices=None, split: str = ""
+    ):
         from ..io.hostio import build_window_plans
 
         if self.cfg.data.dimension == 2:
@@ -329,6 +336,16 @@ class Trainer:
             )
         else:
             coords = np.asarray(image[..., :3], np.int32)  # -999 -> negative
+        if indices is not None and self.cfg.framework.plan_cache_mb > 0:
+            if self._plan_cache is None:
+                from ..io.plan_cache import PlanCache
+
+                geo = self._plan_geometry()
+                self._plan_cache = PlanCache(
+                    lambda c: build_window_plans(c, **geo),
+                    max_bytes=self.cfg.framework.plan_cache_mb * (1 << 20),
+                )
+            return self._plan_cache.plans_for(split, coords, indices)
         return build_window_plans(coords, **self._plan_geometry())
 
     def _host_plans(self, batch: Dict):

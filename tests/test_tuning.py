@@ -74,11 +74,13 @@ def test_trainer_geometry_uses_configured_tuning(tmp_path):
 
 
 def test_default_resolution_unchanged():
-    """Defaults must match the round-2 shipped values."""
+    """Defaults must match the shipped values: sized for FULL dune3d
+    occupancy (26-42k active voxels), where the round-2 144/144 schedule
+    overflowed the initial 5^3 plan's sidecar cap (r3 e2e attribution)."""
     wc.configure_tuning()
-    assert wc.window_r_default() == 144
+    assert wc.window_r_default() == 160
     assert wc.window_r_strided() == 320
-    assert wc.window_r_initial() == 144
-    assert wc.window_r_for_level(0) == 144
+    assert wc.window_r_initial() == 176
+    assert wc.window_r_for_level(0) == 160
     assert wc.window_r_for_level(3) == 160
     assert wc.TUNING.p_series == 4
