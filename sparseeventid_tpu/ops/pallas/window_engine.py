@@ -282,12 +282,15 @@ def _apply_overflow_any(out, table, w, src, dst, kk, valid, interpret):
         return _apply_overflow(out, table, w, src, dst, kk, valid)
     if _use_batched_sidecar(table.shape[-1]):
         from .window_conv import _ov_bound
-        from .window_sidecar import overflow_apply_batched
+        from .window_sidecar import batched_apply_fits, overflow_apply_batched
 
-        return overflow_apply_batched(
-            out, table, w.astype(table.dtype), src, dst, kk, valid,
-            _ov_bound(valid),
-        )
+        wt = w.astype(table.dtype)
+        if batched_apply_fits(out, table, wt, src):
+            return overflow_apply_batched(
+                out, table, wt, src, dst, kk, valid, _ov_bound(valid),
+            )
+        # geometry too large for the batched kernel's full-capacity VMEM
+        # blocks (>126 MB scoped): the serial v1 walk handles any size
     return overflow_apply(
         out, table, w.astype(table.dtype), src, dst, kk, valid
     )
@@ -304,11 +307,12 @@ def _overflow_dw_any(x, gy, src, dst, kk, valid, k, interpret):
         return _overflow_dw(x, gy, src, dst, kk, valid, k)
     if _use_batched_sidecar(x.shape[-1]):
         from .window_conv import _ov_bound
-        from .window_sidecar import overflow_dw_batched
+        from .window_sidecar import batched_dw_fits, overflow_dw_batched
 
-        return overflow_dw_batched(
-            x, gy, k, src, dst, kk, valid, _ov_bound(valid)
-        )
+        if batched_dw_fits(x, gy, k, src):
+            return overflow_dw_batched(
+                x, gy, k, src, dst, kk, valid, _ov_bound(valid)
+            )
     return overflow_dw(x, gy, k, src, dst, kk, valid)
 
 

@@ -44,9 +44,87 @@ from jax.experimental.pallas import tpu as pltpu
 S_CHUNK = 128  # entries per batch (lane dim of the one-hot compares)
 N_CHUNK = 512  # table rows per gather/scatter scan step
 
+# v5e/v4 cores have 128 MiB of VMEM.  These kernels hold full-capacity
+# [rows, C] blocks whose lane dim pads to 128 (C=32 wastes 4x), double
+# buffered across the batch grid — at dune2d level-0 capacity (60416
+# rows) that is ~104 MB, which is why the limit is not the old 100 MB
+# default.  Geometries whose estimate exceeds _VMEM_CAP are routed to
+# the serial v1 sidecars by the engine (batched_*_fits below).
+_VMEM_CAP = 126 * 1024 * 1024
+_VMEM_MARGIN = 8 * 1024 * 1024  # estimate ran ~1 MB over measured; pad it
+
+
+def _vmem_limit_for(est: int) -> int:
+    return min(_VMEM_CAP, max(100 * 1024 * 1024, est + _VMEM_MARGIN))
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _blk_bytes(rows: int, width: int, itemsize: int) -> int:
+    """VMEM bytes of a [rows, width] block ((8, 128) tile padding)."""
+    return _round_up(rows, 8) * _round_up(width, 128) * itemsize
+
+
+def _apply_vmem_bytes(b, m, n, c, co, k, s, itemsize) -> int:
+    """Conservative scoped-VMEM estimate for overflow_apply_batched
+    (measured 103.47 MB vs estimate 104.6 MB at b8/m=n=60416/c=co=32/
+    k=9/s=10112 bf16)."""
+    del b
+    mpad, npad = _round_up(m, N_CHUNK), _round_up(n, N_CHUNK)
+    s_pad = _round_up(s, S_CHUNK)
+    n_sc_pad = _round_up(s_pad // S_CHUNK, 8)
+    per_step = (
+        2 * _blk_bytes(n_sc_pad, S_CHUNK, 4)      # srcl + dstl
+        + _blk_bytes(s_pad, 1, 4)                 # kkt (sublane-major)
+        + 2 * _blk_bytes(mpad, co, itemsize)      # base + out
+        + _blk_bytes(npad, c, itemsize)           # table
+        + _blk_bytes(k * c, co, itemsize)         # w
+    )
+    scratch = (
+        _blk_bytes(S_CHUNK, c, 4)
+        + _blk_bytes(S_CHUNK, k * c, itemsize)
+        + _blk_bytes(s_pad, co, 4)
+    )
+    return 2 * per_step + scratch  # x2: grid double buffering
+
+
+def _dw_vmem_bytes(b, m, n, c, co, k, s, itemsize) -> int:
+    del b
+    mpad, npad = _round_up(m, N_CHUNK), _round_up(n, N_CHUNK)
+    s_pad = _round_up(s, S_CHUNK)
+    n_sc_pad = _round_up(s_pad // S_CHUNK, 8)
+    per_step = (
+        2 * _blk_bytes(n_sc_pad, S_CHUNK, 4)
+        + _blk_bytes(s_pad, 1, 4)
+        + _blk_bytes(npad, c, itemsize)           # x
+        + _blk_bytes(mpad, co, itemsize)          # gy
+        + _blk_bytes(k * c, co, 4)                # dw out (f32)
+    )
+    scratch = (
+        _blk_bytes(S_CHUNK, c, 4)
+        + _blk_bytes(S_CHUNK, co, 4)
+        + _blk_bytes(S_CHUNK, k * c, itemsize)
+    )
+    return 2 * per_step + scratch
+
+
+def batched_apply_fits(base, table, w, src) -> bool:
+    """True if overflow_apply_batched's geometry fits scoped VMEM."""
+    b, m, co = base.shape
+    n, c = table.shape[1], table.shape[2]
+    return _apply_vmem_bytes(
+        b, m, n, c, co, w.shape[0], src.shape[1], table.dtype.itemsize
+    ) + _VMEM_MARGIN <= _VMEM_CAP
+
+
+def batched_dw_fits(x, gy, k, src) -> bool:
+    b, n, c = x.shape
+    m, co = gy.shape[1], gy.shape[2]
+    return _dw_vmem_bytes(
+        b, m, n, c, co, k, src.shape[1], x.dtype.itemsize
+    ) + _VMEM_MARGIN <= _VMEM_CAP
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -242,7 +320,10 @@ def overflow_apply_batched(
             pltpu.VMEM((s_pad, co), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=_vmem_limit_for(
+                _apply_vmem_bytes(b, m, table.shape[1], c, co, k,
+                                  src.shape[1], table.dtype.itemsize)
+            )
         ),
         interpret=interpret,
     )(nb, srcl, dstl, kkt, pb, pt, w2)
@@ -347,7 +428,10 @@ def overflow_dw_batched(
             pltpu.VMEM((S_CHUNK, k * c), x.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=_vmem_limit_for(
+                _dw_vmem_bytes(b, gy.shape[1], x.shape[1], c, co, k,
+                               src.shape[1], x.dtype.itemsize)
+            )
         ),
         interpret=interpret,
     )(nb, srcl, dstl, kkt, xp, gp)
