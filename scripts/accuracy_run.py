@@ -74,6 +74,9 @@ def build_trainer(backend: str, run_id: str, steps: int, resume: bool = False):
                 "framework.remat=false",
                 f"mode.iterations={steps}",
                 "mode.checkpoint_iteration=500",
+                # hold every train+val event's plan across epochs (host
+                # has 125 GB; the default 8 GB could thrash at 1024 events)
+                "framework.plan_cache_mb=32768",
                 "output_dir=/tmp/acc_out",
             ],
         )

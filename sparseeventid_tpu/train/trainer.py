@@ -648,6 +648,14 @@ class Trainer:
             model, anchor_grid, full_grid, axis_name=self.axis_name,
             plans_builder=pb,
         )
+        # per-event validation outputs (vertex_finding.py:110-128,154-178)
+        from .vertex import make_vertex_predict_step
+
+        self._vertex_predict = make_vertex_predict_step(
+            model, anchor_grid, full_grid, plans_builder=pb
+        )
+        if self.mesh is None:
+            self._vertex_predict = jax.jit(self._vertex_predict)
         if self.mesh is not None:
             train_step = make_dp_train_step(train_step, self.mesh, n_batch_args=4)
             eval_step = make_dp_eval_step(eval_step, self.mesh, n_batch_args=4)
@@ -831,6 +839,8 @@ class Trainer:
         n_batches = max(len(ds) // bs, 1)
         all_metrics = []
         outputs = {k: [] for k in OUTPUT_SHAPE}
+        vertex_predict = getattr(self, "_vertex_predict", None)
+        vertex_outputs = []
         for i in range(n_batches):
             batch = ds.batch(list(range(i * bs, min((i + 1) * bs, len(ds)))))
             args = prepare(batch)
@@ -842,6 +852,10 @@ class Trainer:
                 )
                 for k in OUTPUT_SHAPE:
                     outputs[k].append(soft[k])
+            if vertex_predict is not None:
+                vertex_outputs.append(
+                    jax.device_get(vertex_predict(state, *args))
+                )
         mean = {
             k: float(np.mean([m[k] for m in all_metrics])) for k in all_metrics[0]
         }
@@ -861,6 +875,18 @@ class Trainer:
             else:
                 np.savez(cfg.mode.output_file, **merged)
             logger.info(f"wrote softmax outputs to {cfg.mode.output_file}")
+        if vertex_outputs and jax.process_index() == 0:
+            # reference drops per-rank npz files under
+            # output_dir/validation_output/ (vertex_finding.py:154-178)
+            vdir = self.output_dir / "validation_output"
+            vdir.mkdir(parents=True, exist_ok=True)
+            vmerged = {
+                k: np.concatenate([o[k] for o in vertex_outputs])
+                for k in vertex_outputs[0]
+            }
+            vpath = vdir / f"val_rank_{jax.process_index()}.npz"
+            np.savez(vpath, **vmerged)
+            logger.info(f"wrote vertex validation outputs to {vpath}")
         self._shutdown()
         return mean
 

@@ -213,6 +213,36 @@ def make_vertex_train_step(
     return step
 
 
+def make_vertex_predict_step(
+    model: VertexModel,
+    anchor_grid: Tuple[int, int, int],
+    full_grid: Tuple[int, int, int],
+    plans_builder=None,
+):
+    """Per-event inference outputs for validation saving
+    (vertex_finding.py:110-128 metrics_list contract: the reference
+    collects true label/vertex plus the predicted anchor map, vertex,
+    and event label per event and dumps them to
+    output_dir/validation_output/val_rank_N.npz)."""
+
+    def step(state: TrainState, st, vertex, event_label, host):
+        extra = ()
+        if plans_builder is not None and host is not None:
+            extra = (plans_builder(st, host),)
+        anchor_pred, event_logits = model.apply(
+            state.variables(), st, False, *extra)
+        pred_v = predict_vertex(anchor_pred, anchor_grid, full_grid)
+        return {
+            "label": event_label,
+            "vertex_true": vertex,
+            "anchor": jax.nn.sigmoid(anchor_pred[..., 0]),
+            "vertex": pred_v,
+            "pred_label": jnp.argmax(event_logits, axis=-1),
+        }
+
+    return step
+
+
 def make_vertex_eval_step(
     model: VertexModel,
     anchor_grid: Tuple[int, int, int],

@@ -44,6 +44,25 @@ def test_task_trains_via_cli_dispatch(tmp_path, task, extra):
     assert int(state.step) == 3
 
 
+def test_yolo_inference_writes_val_outputs(tmp_path):
+    """Vertex inference drops per-event arrays under
+    output_dir/validation_output (vertex_finding.py:154-178 parity)."""
+    cfg = _cfg(tmp_path, "yolo", ("mode=inference",))
+    trainer = Trainer(cfg)
+    trainer.validate()
+    files = list(tmp_path.glob("**/validation_output/val_rank_0.npz"))
+    assert len(files) == 1
+    out = np.load(files[0])
+    n = len(trainer.datasets["val" if "val" in trainer.datasets else "test"])
+    n = (n // cfg.run.minibatch_size) * cfg.run.minibatch_size or n
+    assert set(out.files) >= {
+        "label", "vertex_true", "anchor", "vertex", "pred_label"
+    }
+    assert out["vertex"].shape == (n, 3)
+    assert out["vertex_true"].shape == (n, 3)
+    assert np.isfinite(out["vertex"]).all()
+
+
 def test_unknown_task_rejected(tmp_path):
     cfg = _cfg(tmp_path, "not_a_task")
     with pytest.raises(ValueError, match="unknown task name"):
