@@ -29,12 +29,14 @@ GRID = (1024, 512, 1280)
 MAX_VOXELS = 50000
 ACTIVE_VOXELS = 25000  # typical occupancy is well under the 50k cap
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
-WARMUP = 16  # first post-compile iterations run ~20% slow (device-side
+WARMUP = 24  # first post-compile iterations run ~20% slow (device-side
             # caching/allocator warmup); measured blocks must be steady-state
 ITERS = 10
-BLOCKS = 4  # timed blocks; median reported (first block still drifts ~15-30%
-#           even after warmup on axon — VERDICT r2 weak #2 — so run 4 and let
-#           the median sit in the warmed majority)
+BLOCKS = 5  # timed blocks; median reported.  The first timed block can read
+#           15-30% (sometimes 5x) slow even after warmup on axon — residual
+#           compile-service/host activity, VERDICT r2 weak #2 — so run an odd
+#           count and let the median sit in the warmed majority; per-block
+#           rates stay visible in the output for transparency.
 
 
 def _ensure_native_ext():
