@@ -135,7 +135,8 @@ def run_training(backend: str, run_id: str, steps: int):
             )
         if i + 1 == n_steps and jax.process_index() == 0:
             t.ckpt.save(state, int(state.step))
-    # final val sweep: 16 batches
+    # final val sweep: 16 batches (mean +- std across batches = the
+    # error bar on each head's accuracy, VERDICT r2 weak #4)
     accs = []
     for _ in range(16):
         vargs = prepare(next(val_loader))
@@ -143,8 +144,11 @@ def run_training(backend: str, run_id: str, steps: int):
     final = {
         k: float(np.mean([a[k] for a in accs])) for k in accs[0]
     }
+    final_std = {
+        k: float(np.std([a[k] for a in accs])) for k in accs[0]
+    }
     t._shutdown()
-    return train_curve, val_curve, final
+    return train_curve, val_curve, final, final_std
 
 
 def run_resume_check(run_id: str, steps_a: int, steps_b: int):
@@ -189,7 +193,9 @@ def main():
         "acc/labelnpiID": 0.5,
     }
 
-    tr_w, val_w, final_w = run_training("window", "acc_window", args.steps)
+    tr_w, val_w, final_w, std_w = run_training(
+        "window", "acc_window", args.steps
+    )
     if PRESET == "dune3d":
         # full-recipe run: at this scale the xla device-plan path is
         # impractical (see build_trainer note) — kernel equality at dune3d
@@ -198,7 +204,9 @@ def main():
         w_short = []
         resumed_at, final_step = run_resume_check("acc_resume", 60, 120)
     else:
-        tr_x, val_x, final_x = run_training("xla", "acc_xla", args.xla_steps)
+        tr_x, val_x, final_x, _ = run_training(
+            "xla", "acc_xla", args.xla_steps
+        )
         # window curve restricted to the xla horizon for the comparison
         w_short = [m for m in tr_w if m["step"] < args.xla_steps]
         resumed_at, final_step = run_resume_check("acc_resume", 120, 240)
@@ -231,17 +239,19 @@ def main():
     )
     lines = header + [
         "",
-        "## Final val accuracy (mean over 16 val batches)",
+        "## Final val accuracy (mean ± std over 16 val batches of 8)",
         "",
         "| head | accuracy | chance |",
         "|---|---|---|",
     ]
     for k in sorted(chance):
         lines.append(
-            f"| {k} | {final_w[k]*100:.1f}% | {chance[k]*100:.1f}% |"
+            f"| {k} | {final_w[k]*100:.1f}% ± {std_w[k]*100:.1f}% "
+            f"| {chance[k]*100:.1f}% |"
         )
     lines += [
-        f"| loss | {final_w['loss/loss']:.4f} | — |",
+        f"| loss | {final_w['loss/loss']:.4f} ± {std_w['loss/loss']:.4f}"
+        " | — |",
         "",
         "## Loss curve (train, every 25 steps)",
         "",
@@ -250,6 +260,25 @@ def main():
     for m in tr_w[:: max(1, len(tr_w) // 20)]:
         lines.append(f"step {m['step']:5d}  loss {m['loss/loss']:.4f}")
     lines += ["```", ""]
+    if len(tr_w) >= 20:
+        # smoothed curve: the per-step loss is batch-8 focal loss and
+        # inherently noisy; a 10-sample (250-step) moving average shows
+        # whether training actually converges.
+        losses = [m["loss/loss"] for m in tr_w]
+        steps_ = [m["step"] for m in tr_w]
+        win = 10
+        sm = [
+            (steps_[i + win - 1], float(np.mean(losses[i:i + win])))
+            for i in range(0, len(losses) - win + 1)
+        ]
+        lines += [
+            "## Smoothed loss (250-step moving average)",
+            "",
+            "```",
+        ]
+        for s, v in sm[:: max(1, len(sm) // 20)]:
+            lines.append(f"step {s:5d}  loss {v:.4f}")
+        lines += ["```", ""]
     if tr_x:
         lines += [
             "## Backend equivalence (window vs xla rulebook)",
