@@ -248,7 +248,10 @@ class Framework:
     # host-plan cache budget (MB): plans are pure functions of an event's
     # static coords, so epochs >= 2 reuse them instead of paying the
     # ~90 ms/event single-core build (io/plan_cache.py). 0 disables.
-    plan_cache_mb: int = 8192
+    # Default sized for modest hosts (ADVICE r3: 8 GB silently ate small
+    # machines); raise it on production hosts — the trainer logs the
+    # cache's size/hit-rate once per epoch so saturation is visible.
+    plan_cache_mb: int = 2048
 
 
 @dataclass

@@ -16,9 +16,11 @@ rulebooks on-device per batch; here plan building is host work by design
 the same contract (/root/reference/src/io/larcv_fetcher.py:403-413 —
 keep the device busy).
 
-Invalidation: keys are (split, event_index) against an immutable dataset.
-Any path that perturbs coordinates per draw (e.g. SimCLR augmented views)
-must bypass the cache by not passing indices (Trainer._compute_host_plans).
+Invalidation: keys are (split, event_index, coords_digest) against the
+event's actual coordinate bytes — a crc32 digest guards against any path
+that perturbs coordinates per draw (e.g. a future augmentation on the
+supervised tasks) silently serving stale plans (ADVICE r3).  The digest
+costs ~0.1 ms/event at dune3d occupancy, noise next to assembly.
 Budget-bounded: once ``max_bytes`` is reached new events are built but not
 stored (first-come-stay beats LRU under uniform per-epoch reuse, where
 LRU always evicts an entry right before its next hit).
@@ -27,6 +29,7 @@ LRU always evicts an entry right before its next hit).
 from __future__ import annotations
 
 import threading
+import zlib
 from typing import Callable, Dict, Sequence
 
 import numpy as np
@@ -53,6 +56,16 @@ class PlanCache:
     def __len__(self) -> int:
         return len(self._store)
 
+    def stats_line(self) -> str:
+        """One-line summary for the per-epoch trainer log (ADVICE r3)."""
+        total = self.hits + self.misses
+        rate = self.hits / total if total else 0.0
+        return (
+            f"plan cache: {len(self)} events, "
+            f"{self._bytes / (1 << 20):.0f}/{self.max_bytes / (1 << 20):.0f} MB, "
+            f"hit rate {rate:.1%} ({self.hits}/{total})"
+        )
+
     def plans_for(
         self, split: str, coords: np.ndarray, indices: Sequence[int]
     ) -> Dict[str, np.ndarray]:
@@ -62,8 +75,17 @@ class PlanCache:
         every packed array's leading axis is the batch, so slicing and
         re-concatenating is the identity (tests/test_plan_cache.py).
         """
-        keys = [(split, int(i)) for i in np.asarray(indices).ravel()]
-        assert len(keys) == coords.shape[0], "indices must match batch rows"
+        idx = np.asarray(indices).ravel()
+        if len(idx) != coords.shape[0]:
+            raise ValueError(
+                f"indices ({len(idx)}) must match batch rows "
+                f"({coords.shape[0]})"
+            )
+        coords = np.ascontiguousarray(coords)
+        keys = [
+            (split, int(i), zlib.crc32(coords[p].tobytes()))
+            for p, i in enumerate(idx)
+        ]
         with self._lock:
             miss_pos = [p for p, k in enumerate(keys) if k not in self._store]
             self.hits += len(keys) - len(miss_pos)

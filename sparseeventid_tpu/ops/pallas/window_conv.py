@@ -464,10 +464,12 @@ def window_plan(
     qkeys: jax.Array,  # [B, N, K]
     n_active: jax.Array,  # i32[B] live rows on the QUERY side
     interpret: bool = False,
-    window_r: int = WINDOW_R,
+    window_r: int | None = None,
     table_cap: int | None = None,  # UNPADDED table length (conv bound)
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (start i32[B, n_tiles, K], uncovered i32[B, N, K])."""
+    if window_r is None:  # resolve LIVE tuning, never the
+        window_r = window_r_default()  # import-time snapshot
     b, npad = padded_keys.shape
     if table_cap is None:
         table_cap = npad
@@ -798,12 +800,14 @@ def window_conv_apply(
     w: jax.Array,  # [K, C, CO]
     q_active: jax.Array,  # i32[B] live rows on the query side
     interpret: bool = False,
-    window_r: int = WINDOW_R,
+    window_r: int | None = None,
     q_bound: int | None = None,
 ) -> jax.Array:
     """-> [B, M, CO] in-window contributions (overflow pairs excluded).
 
     ``qkeys`` is lane-transposed: [B, K, M]."""
+    if window_r is None:  # resolve LIVE tuning, never the
+        window_r = window_r_default()  # import-time snapshot
     b, k, m = qkeys.shape
     c = feats.shape[-1]
     co = w.shape[-1]
@@ -1058,11 +1062,13 @@ def window_dw(
     gy: jax.Array,  # [B, M, CO] output cotangent
     q_active: jax.Array,
     interpret: bool = False,
-    window_r: int = WINDOW_R,
+    window_r: int | None = None,
     q_bound: int | None = None,
 ) -> jax.Array:
     """-> dW f32[K, C, CO] = sum over pairs of x[src] (x) gy[dst] for the
     in-window pairs of the plan.  ``qkeys`` is lane-transposed [B, K, M]."""
+    if window_r is None:  # resolve LIVE tuning, never the
+        window_r = window_r_default()  # import-time snapshot
     b, k, m = qkeys.shape
     c = feats.shape[-1]
     co = gy.shape[-1]
@@ -1154,7 +1160,7 @@ def window_bwd_subm(
     q_active: jax.Array,
     perm: np.ndarray,  # mirror permutation of the offsets (static)
     interpret: bool = False,
-    window_r: int = WINDOW_R,
+    window_r: int | None = None,
     q_bound: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused submanifold backward: dX AND dW from ONE gy gather.
@@ -1177,6 +1183,8 @@ def window_bwd_subm(
 
     -> (dx [B, M, C], dw_mirror f32 [K, C, CO]; dW = (dw_mirror + twin
     sidecar)[perm])."""
+    if window_r is None:  # resolve LIVE tuning, never the
+        window_r = window_r_default()  # import-time snapshot
     return window_bwd_strided(
         keys, gy, feats, qkeys, start, jnp.asarray(w)[np.asarray(perm)],
         q_active, interpret=interpret, window_r=window_r, q_bound=q_bound,
@@ -1270,12 +1278,14 @@ def window_bwd_strided(
     w: jax.Array,  # [K, C, CO]
     r_active: jax.Array,
     interpret: bool = False,
-    window_r: int = WINDOW_R_STRIDED,
+    window_r: int | None = None,  # None -> window_r_strided()
     q_bound: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (dx [B, N_in, C], dw f32 [K, C, CO]) for the rev-plan pair set.
 
     ``rq`` is lane-transposed [B, K, N_in]."""
+    if window_r is None:  # resolve LIVE tuning, never the
+        window_r = window_r_strided()  # import-time snapshot
     b, k, m = rq.shape
     c = feats.shape[-1]
     co = gy.shape[-1]
@@ -1350,11 +1360,13 @@ def window_gather(
     start: jax.Array,
     q_active: jax.Array,
     interpret: bool = False,
-    window_r: int = WINDOW_R,
+    window_r: int | None = None,
 ) -> jax.Array:
     """-> g [B, M, K*C]: the gathered neighbor matrix (for dW).
 
     ``qkeys`` is lane-transposed [B, K, M]."""
+    if window_r is None:  # resolve LIVE tuning, never the
+        window_r = window_r_default()  # import-time snapshot
     b, k, m = qkeys.shape
     c = feats.shape[-1]
     pk, pt = _conv_table(keys, feats, window_r)

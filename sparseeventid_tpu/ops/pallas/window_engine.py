@@ -68,8 +68,10 @@ class WindowPlan:
     )
     # conv window rows: strided FORWARD plans need ~2x (the parent table is
     # ~stride^d / 2 denser than the child query set, so per-tile match spans
-    # approach 2*TILE_T)
-    window_r: int = dataclasses.field(default=WINDOW_R, metadata=dict(static=True))
+    # approach 2*TILE_T).  REQUIRED (no default): an import-time snapshot
+    # default silently ignored configure_tuning (ADVICE r3) — every builder
+    # resolves the live tuning value and passes it explicitly.
+    window_r: int = dataclasses.field(metadata=dict(static=True))
     # static query-row bound: tiles past it skip the kernel grid entirely
     # (None = full capacity).  Correct whenever n_active <= q_bound; the
     # engine surfaces max(n_active - q_bound, 0) via plan_overflow_dropped.
@@ -163,6 +165,13 @@ def build_strided_window_plans(
     stride = tuple(int(s) for s in stride)
     offs = kernel_offsets(stride, centered=False)
     k = len(offs)
+    # Resolve BOTH window sizes once so the window_plan() call and the
+    # WindowPlan record can never disagree (ADVICE r3 high: the rev plan
+    # used to call window_plan() with the import-time default while
+    # recording the live window_r_default(), silently shrinking the kernel
+    # window below what coverage assumed after configure_tuning).
+    r_fwd = window_r_strided()
+    r_rev = window_r_default()
 
     # forward queries (key-arithmetic form, no [B, N, K, 3] intermediate)
     qkeys_f = compute_strided_query_keys(
@@ -172,7 +181,7 @@ def build_strided_window_plans(
     pk_in, _ = _padded_table(keys_in, st.feats[..., :1])
     start_f, uncov_f = window_plan(
         pk_in, qkeys_f, skeleton.n_active, interpret=interpret,
-        window_r=window_r_strided(), table_cap=st.capacity,
+        window_r=r_fwd, table_cap=st.capacity,
     )
     src, dst, kk, val, drop = _compact_overflow(
         keys_in, qkeys_f, uncov_f, overflow_cap
@@ -181,7 +190,7 @@ def build_strided_window_plans(
         qkeys_f.transpose(0, 2, 1), start_f, skeleton.n_active,
         src, dst, kk, val, drop,
         offsets=tuple(map(tuple, offs.tolist())),
-        window_r=window_r_strided(), q_bound=q_bound,
+        window_r=r_fwd, q_bound=q_bound,
     )
 
     # reverse queries: input row -> parent key, one-hot over offset columns
@@ -204,7 +213,7 @@ def build_strided_window_plans(
     )
     start_r, uncov_r = window_plan(
         pk_out, qkeys_r, st.n_active, interpret=interpret,
-        table_cap=skeleton.capacity,
+        window_r=r_rev, table_cap=skeleton.capacity,
     )
     src_r, dst_r, kk_r, val_r, drop_r = _compact_overflow(
         keys_out, qkeys_r, uncov_r, overflow_cap
@@ -212,7 +221,7 @@ def build_strided_window_plans(
     rev = WindowPlan(
         qkeys_r.transpose(0, 2, 1), start_r, st.n_active,
         src_r, dst_r, kk_r, val_r, drop_r,
-        offsets=tuple(map(tuple, offs.tolist())), window_r=window_r_default(),
+        offsets=tuple(map(tuple, offs.tolist())), window_r=r_rev,
         q_bound=rev_q_bound,
     )
     return fwd, rev

@@ -812,6 +812,14 @@ class Trainer:
                 )
             if (i + 1) % ckpt_every == 0 and jax.process_index() == 0:
                 self.ckpt.save(state, int(state.step))
+            if (
+                self._plan_cache is not None
+                and len(loader) > 0
+                and (i + 1) % len(loader) == 0
+            ):
+                # once per epoch: cache saturation must be visible
+                # (ADVICE r3 — the budget silently stops storing when full)
+                logger.info(self._plan_cache.stats_line())
         if jax.process_index() == 0:
             self.ckpt.save(state, int(state.step))
         if cfg.run.profile:
@@ -875,9 +883,11 @@ class Trainer:
             else:
                 np.savez(cfg.mode.output_file, **merged)
             logger.info(f"wrote softmax outputs to {cfg.mode.output_file}")
-        if vertex_outputs and jax.process_index() == 0:
-            # reference drops per-rank npz files under
-            # output_dir/validation_output/ (vertex_finding.py:154-178)
+        if vertex_outputs:
+            # reference drops ONE npz file PER RANK under
+            # output_dir/validation_output/ (vertex_finding.py:154-178);
+            # every process writes its own shard (ADVICE r3 — a rank-0-only
+            # gate loses the other ranks' events in multi-process runs)
             vdir = self.output_dir / "validation_output"
             vdir.mkdir(parents=True, exist_ok=True)
             vmerged = {
