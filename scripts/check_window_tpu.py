@@ -159,6 +159,61 @@ def main():
     ef = float(jnp.max(jnp.abs(gf_w - gf_x)) / (jnp.max(jnp.abs(gf_x)) + 1e-9))
     print(f"  strided grad rel err: dW {ew:.2e}, dX {ef:.2e}")
     assert ew < 1e-3 and ef < 1e-3
+
+    # deconvolution: coarse -> fine onto the original site set (the strided
+    # kernels transposed; sparse_building_blocks.py:202-229)
+    from sparseeventid_tpu.ops.conv import deconv
+    from sparseeventid_tpu.ops.pallas.window_engine import window_deconv
+    from sparseeventid_tpu.ops.rulebook import build_upsample
+
+    coarse = skeleton.with_feats(
+        jnp.asarray(
+            r.integers(-2, 3, (BATCH, CAP // 2, c)).astype(np.float32)
+        )
+        * skeleton.row_mask()[..., None]
+    )
+    wd = jnp.asarray(r.integers(-2, 3, (8, c, c)).astype(np.float32))
+
+    @jax.jit
+    def xla_d(cs, ww):
+        rb = build_upsample(cs, st, (2, 2, 2))
+        return deconv(cs, st, rb, ww).feats
+
+    @jax.jit
+    def win_d(cs, ww):
+        fwd, rev = build_strided_window_plans(
+            st, cs, (2, 2, 2),
+            overflow_cap=engine._overflow_cap(st.capacity, 8),
+        )
+        return window_deconv(cs, st, fwd, rev, ww).feats
+
+    a = xla_d(coarse, wd)
+    b = win_d(coarse, wd)
+    err = float(jnp.max(jnp.abs(a - b)))
+    print(f"deconv (2,2,2): max |xla - window| = {err:.2e}")
+    assert err < 1e-3
+
+    ct3 = jnp.asarray(r.integers(-2, 3, (BATCH, CAP, c)).astype(np.float32))
+
+    def loss_dw(ww, f):
+        fwd, rev = build_strided_window_plans(
+            st, coarse.with_feats(f), (2, 2, 2),
+            overflow_cap=engine._overflow_cap(st.capacity, 8),
+        )
+        o = window_deconv(coarse.with_feats(f), st, fwd, rev, ww)
+        return jnp.sum(o.feats.astype(jnp.float32) * ct3)
+
+    def loss_dx(ww, f):
+        rb = build_upsample(coarse, st, (2, 2, 2))
+        o = deconv(coarse.with_feats(f), st, rb, ww)
+        return jnp.sum(o.feats.astype(jnp.float32) * ct3)
+
+    gw_w, gf_w = jax.jit(jax.grad(loss_dw, argnums=(0, 1)))(wd, coarse.feats)
+    gw_x, gf_x = jax.jit(jax.grad(loss_dx, argnums=(0, 1)))(wd, coarse.feats)
+    ew = float(jnp.max(jnp.abs(gw_w - gw_x)) / (jnp.max(jnp.abs(gw_x)) + 1e-9))
+    ef = float(jnp.max(jnp.abs(gf_w - gf_x)) / (jnp.max(jnp.abs(gf_x)) + 1e-9))
+    print(f"  deconv grad rel err: dW {ew:.2e}, dX {ef:.2e}")
+    assert ew < 1e-3 and ef < 1e-3
     print("ALL EQUALITY CHECKS PASSED")
 
 

@@ -53,6 +53,15 @@ class PlanCache:
     def nbytes(self) -> int:
         return self._bytes
 
+    def clear(self) -> None:
+        """Drop every stored plan and reset counters (benchmarks use this
+        to measure a genuinely cold first epoch)."""
+        with self._lock:
+            self._store.clear()
+            self._bytes = 0
+            self.hits = 0
+            self.misses = 0
+
     def __len__(self) -> int:
         return len(self._store)
 

@@ -33,7 +33,9 @@ from ..ops import (
 from ..ops.engine import (
     apply_strided,
     apply_submanifold,
+    apply_upsample,
     build_downsample_plan,
+    build_upsample_plan,
     plan_overflow_dropped,
 )
 
@@ -315,26 +317,42 @@ class PoolingDownsample(nn.Module):
 
 class ConvolutionUpsample(nn.Module):
     """scn.Deconvolution onto a supplied target site set (reference :202-229,
-    with the norm-flag bug fixed)."""
+    with the norm-flag bug fixed).  backend='window' rides the strided
+    window kernels transposed (ops/engine.build_upsample_plan); the XLA
+    rulebook remains the reference path."""
 
     n_out: int
     stride: Tuple[int, ...]
     params: ConvRepresentation
     axis_name: str | None = None
+    backend: str = "xla"
 
     @nn.compact
     def __call__(
-        self, st: SparseTensor, target: SparseTensor, train: bool
+        self, st: SparseTensor, target: SparseTensor, train: bool,
+        precomputed=None,
     ) -> SparseTensor:
-        rb = build_upsample(st, target, self.stride)
-        k = rb.num_offsets
+        k = 1
+        for sdim in self.stride:
+            k *= int(sdim)
         w = self.param("w", conv_init, (k, st.num_channels, self.n_out))
         b = (
             self.param("b", nn.initializers.zeros, (self.n_out,))
             if self.params.bias
             else None
         )
-        out = deconv(st, target, rb, w, b)
+        plan = (
+            precomputed
+            if precomputed is not None
+            else build_upsample_plan(st, target, self.stride, self.backend)
+        )
+        dropped = plan_overflow_dropped(plan)
+        self.sow(
+            "diagnostics", "dropped", dropped,
+            reduce_fn=lambda a, b: a + b,
+            init_fn=lambda: jnp.zeros((), jnp.int32),
+        )
+        out = apply_upsample(st, target, plan, w, b)
         norm = _make_norm(self.params.normalization, "norm", self.axis_name)
         if norm is not None:
             out = out.with_feats(norm(out.feats, out.row_mask(), train))

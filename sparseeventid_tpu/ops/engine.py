@@ -17,11 +17,12 @@ from typing import Sequence, Tuple
 
 import jax
 
-from .conv import strided_conv, submanifold_conv
+from .conv import deconv, strided_conv, submanifold_conv
 from .rulebook import (
     Rulebook,
     build_downsample_rulebook,
     build_submanifold_rulebook,
+    build_upsample,
     downsample_sites,
 )
 from .sparse_tensor import SparseTensor
@@ -29,6 +30,7 @@ from .pallas.window_engine import (
     WindowPlan,
     build_strided_window_plans,
     build_submanifold_window_plan,
+    window_deconv,
     window_strided_conv,
     window_submanifold_conv,
 )
@@ -124,6 +126,53 @@ def build_downsample_plan(
         )
         return skeleton, plans, dropped
     return skeleton, build_downsample_rulebook(st, skeleton, stride), dropped
+
+
+def build_upsample_plan(
+    st_coarse: SparseTensor,
+    target: SparseTensor,
+    stride: Sequence[int],
+    backend: str = XLA,
+    q_bound_frac_coarse: float = 1.0,
+    q_bound_frac_fine: float = 1.0,
+):
+    """Plan for scn.Deconvolution onto a supplied finer site set.  The
+    window backend reuses build_strided_window_plans with the FINE set in
+    the input role (see window_engine.window_deconv)."""
+    if backend == WINDOW:
+        k = 1
+        for ss in stride:
+            k *= int(ss)
+        return build_strided_window_plans(
+            target, st_coarse, stride,
+            overflow_cap=_overflow_cap(target.capacity, k),
+            interpret=_interpret(),
+            q_bound=query_bound(st_coarse.capacity, q_bound_frac_coarse),
+            rev_q_bound=query_bound(target.capacity, q_bound_frac_fine),
+        )
+    return build_upsample(st_coarse, target, stride)
+
+
+def apply_upsample(
+    st_coarse: SparseTensor,
+    target: SparseTensor,
+    plan,
+    w,
+    bias=None,
+) -> SparseTensor:
+    import jax.numpy as jnp
+
+    if isinstance(plan, tuple) and plan and isinstance(plan[0], WindowPlan):
+        fwd, rev = plan
+        out = window_deconv(
+            st_coarse, target, fwd, rev, w, interpret=_interpret()
+        )
+        if bias is not None:
+            out = out.with_feats(
+                jnp.where(out.row_mask()[..., None], out.feats + bias, 0)
+            )
+        return out
+    return deconv(st_coarse, target, plan, w, bias)
 
 
 def plan_overflow_dropped(plan) -> jax.Array:

@@ -554,6 +554,110 @@ def _strided_bwd(offsets, interpret, f_r, r_r, f_b, r_b, res, gy):
 _strided_window_conv.defvjp(_strided_fwd, _strided_bwd)
 
 
+# --------------------------------------------------------------------------
+# deconvolution (scn.Deconvolution, filter == stride): rides the SAME plans
+# and kernels as the strided conv, transposed.  With plans built by
+# build_strided_window_plans(st=target_fine, skeleton=coarse, stride):
+#   * deconv FORWARD  == the strided conv's dX walk (reverse plan: each fine
+#     row reads its parent coarse site through its intra-cell offset column),
+#   * deconv dX_coarse == the strided conv's FORWARD walk (forward plan:
+#     each coarse site gathers its fine children),
+#   * deconv dW       == window_dw over the reverse plan with
+#     (table=x_coarse, cotangent=gy_fine).
+# Zero new Pallas kernels.  Reference semantics:
+# /root/reference/src/networks/sparse_building_blocks.py:202-229.
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5, 6, 7))
+def _deconv_window(offsets, x_coarse, w, interpret, f_r, r_r, f_b, r_b,
+                   keys_fine, keys_coarse,
+                   fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
+                   rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val):
+    out = window_conv_apply(
+        keys_coarse, x_coarse, rq, rs, w, r_act, interpret=interpret,
+        window_r=r_r, q_bound=r_b,
+    )
+    return _apply_overflow_any(
+        out, x_coarse, w, ro_src, ro_dst, ro_k, ro_val, interpret
+    )
+
+
+def _deconv_fwd(offsets, x_coarse, w, interpret, f_r, r_r, f_b, r_b,
+                keys_fine, keys_coarse,
+                fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
+                rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val):
+    out = _deconv_window(
+        offsets, x_coarse, w, interpret, f_r, r_r, f_b, r_b,
+        keys_fine, keys_coarse,
+        fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
+        rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val,
+    )
+    return out, (x_coarse, w, keys_fine, keys_coarse,
+                 fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
+                 rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val)
+
+
+def _deconv_bwd(offsets, interpret, f_r, r_r, f_b, r_b, res, gy):
+    (x_coarse, w, keys_fine, keys_coarse,
+     fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
+     rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val) = res
+    k, c, co = w.shape
+    gy = gy.astype(x_coarse.dtype)
+    w_t = jnp.transpose(w, (0, 2, 1))
+    # dX_coarse: the strided conv's forward walk over gy at the fine sites
+    dxc = window_conv_apply(
+        keys_fine, gy, fq, fs, w_t, f_act, interpret=interpret,
+        window_r=f_r, q_bound=f_b,
+    )
+    dxc = _apply_overflow_any(
+        dxc, gy, w_t, fo_src, fo_dst, fo_k, fo_val, interpret
+    )
+    # dW[k] = sum over pairs x_coarse[parent] (x) gy[fine]
+    if interpret:
+        g1 = window_gather(keys_coarse, x_coarse, rq, rs, r_act,
+                           interpret=interpret, window_r=r_r)
+        dw = jnp.einsum(
+            "bno,bnm->mo", gy.astype(jnp.float32), g1.astype(jnp.float32)
+        ).reshape(k, c, co)
+    else:
+        dw = window_dw(keys_coarse, x_coarse, rq, rs, gy, r_act,
+                       window_r=r_r, q_bound=r_b)
+    dw = dw + _overflow_dw_any(
+        x_coarse, gy, ro_src, ro_dst, ro_k, ro_val, k, interpret
+    )
+    return (dxc, dw.astype(w.dtype)) + (None,) * 16
+
+
+_deconv_window.defvjp(_deconv_fwd, _deconv_bwd)
+
+
+def window_deconv(
+    st_coarse: SparseTensor,
+    target: SparseTensor,
+    fwd_plan: WindowPlan,
+    rev_plan: WindowPlan,
+    w: jax.Array,
+    interpret: bool = False,
+) -> SparseTensor:
+    """Drop-in for ops.deconv on the windowed engine.  ``fwd_plan`` /
+    ``rev_plan`` come from build_strided_window_plans(target, st_coarse,
+    stride) — note the argument order: the FINE site set plays the input
+    role so the reverse plan walks fine->coarse (the deconv forward)."""
+    out = _deconv_window(
+        rev_plan.offsets, st_coarse.feats, w.astype(st_coarse.feats.dtype),
+        interpret,
+        fwd_plan.window_r, rev_plan.window_r,
+        fwd_plan.q_bound, rev_plan.q_bound,
+        target.keys(), st_coarse.keys(),
+        fwd_plan.qkeys, fwd_plan.start, fwd_plan.q_active,
+        fwd_plan.ov_src, fwd_plan.ov_dst, fwd_plan.ov_k, fwd_plan.ov_valid,
+        rev_plan.qkeys, rev_plan.start, rev_plan.q_active,
+        rev_plan.ov_src, rev_plan.ov_dst, rev_plan.ov_k, rev_plan.ov_valid,
+    )
+    out = jnp.where(target.row_mask()[..., None], out, 0)
+    return target.with_feats(out)
+
+
 def window_strided_conv(
     st: SparseTensor,
     skeleton: SparseTensor,

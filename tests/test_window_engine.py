@@ -231,3 +231,76 @@ def test_empty_event():
     w = jnp.ones((27, 4, 8)) * 0.1
     out = window_submanifold_conv(st, plan, w, interpret=True)
     assert float(jnp.sum(jnp.abs(out.feats))) == 0.0
+
+
+def test_deconv_forward_and_grads_match_xla():
+    """window_deconv (strided kernels transposed) vs ops.deconv, forward +
+    dX_coarse + dW (reference sparse_building_blocks.py:202-229)."""
+    from sparseeventid_tpu.ops.pallas.window_engine import window_deconv
+
+    st = make_st(seed=7, c=6)
+    stride = (2, 2, 2)
+    skeleton, rb_down = ops.build_downsample(st, stride)
+    rng = np.random.default_rng(8)
+    w0 = jnp.asarray(rng.standard_normal((8, 6, 5)).astype(np.float32) * 0.3)
+    coarse = ops.strided_conv(st, skeleton, rb_down, w0)
+
+    w = jnp.asarray(rng.standard_normal((8, 5, 7)).astype(np.float32) * 0.3)
+    rb_up = ops.build_upsample(coarse, st, stride)
+    ref = ops.deconv(coarse, st, rb_up, w)
+
+    # plans: FINE set in the input role (see window_deconv docstring)
+    fwd_plan, rev_plan = build_strided_window_plans(
+        st, coarse, stride, interpret=True
+    )
+    got = window_deconv(coarse, st, fwd_plan, rev_plan, w, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got.feats), np.asarray(ref.feats), rtol=1e-4, atol=1e-4
+    )
+
+    def loss_ref(w, f):
+        return jnp.sum(
+            ops.deconv(coarse.with_feats(f), st, rb_up, w).feats ** 2
+        )
+
+    def loss_win(w, f):
+        return jnp.sum(
+            window_deconv(
+                coarse.with_feats(f), st, fwd_plan, rev_plan, w,
+                interpret=True,
+            ).feats ** 2
+        )
+
+    gw_r, gf_r = jax.grad(loss_ref, argnums=(0, 1))(w, coarse.feats)
+    gw_p, gf_p = jax.grad(loss_win, argnums=(0, 1))(w, coarse.feats)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_r), rtol=1e-3, atol=1e-4)
+
+
+def test_upsample_block_window_backend_matches_xla():
+    """ConvolutionUpsample(backend='window') == backend='xla' through the
+    flax module (init + apply + engine dispatch)."""
+    from sparseeventid_tpu.config.schema import ConvRepresentation
+    from sparseeventid_tpu.models.blocks import ConvolutionUpsample
+
+    st = make_st(seed=9, c=6)
+    skeleton, rb_down = ops.build_downsample(st, (2, 2, 2))
+    rng = np.random.default_rng(10)
+    w0 = jnp.asarray(rng.standard_normal((8, 6, 5)).astype(np.float32) * 0.3)
+    coarse = ops.strided_conv(st, skeleton, rb_down, w0)
+
+    params = ConvRepresentation()
+    outs = {}
+    for backend in ("xla", "window"):
+        mod = ConvolutionUpsample(
+            n_out=7, stride=(2, 2, 2), params=params, backend=backend
+        )
+        v = mod.init(jax.random.PRNGKey(0), coarse, st, False)
+        outs[backend], _ = mod.apply(
+            v, coarse, st, False, mutable=["diagnostics"]
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs["window"].feats),
+        np.asarray(outs["xla"].feats),
+        rtol=1e-4, atol=1e-4,
+    )
