@@ -25,7 +25,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-FILE = "/tmp/dune3d_synth.h5"
+FILE = "/tmp/dune3d_e2e_36k.h5"
 BATCH = 8
 N_EVENTS = 128
 
@@ -37,9 +37,12 @@ def main():
     from sparseeventid_tpu.io.larcv import write_synthetic_larcv_file
 
     if not os.path.exists(FILE):
+        # 75 tracks x 900 steps dedups to ~36k unique voxels/event — the
+        # FULL dune3d occupancy the r3 e2e run measured (PERF_NOTES), which
+        # is the regime the VERDICT asked the device-only number at
         write_synthetic_larcv_file(
             FILE, n_events=N_EVENTS, image_size=(1024, 512, 1280), seed=77,
-            mean_tracks=40.0, steps_per_track=900, max_voxels=50000,
+            mean_tracks=75.0, steps_per_track=900, max_voxels=50000,
         )
 
     cfg = load_config(

@@ -206,6 +206,10 @@ class Data:
     mc: bool = True
     detector: Detector = Detector.synthetic
     max_voxels: int = 50000  # larcv_fetcher.py:116 MaxVoxels
+    # SimCLR augmented views are capped far below the supervised budget in
+    # the reference (BatchFiller MaxVoxels=3000, larcv_fetcher.py:182,203)
+    # — this is also what keeps per-view host-plan building cheap
+    aug_max_voxels: int = 3000
     synthetic_events: int = 256  # size of the synthetic dataset
 
 

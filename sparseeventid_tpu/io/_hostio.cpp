@@ -30,6 +30,18 @@
 
 namespace {
 
+// Worker-thread count for batch-parallel loops: hardware_concurrency by
+// default; SEID_PLAN_THREADS forces a count (tests exercise the threaded
+// path deterministically even on 1-core hosts).
+inline unsigned pool_threads(unsigned batch) {
+  unsigned n = std::thread::hardware_concurrency();
+  if (const char* env = std::getenv("SEID_PLAN_THREADS")) {
+    long v = std::strtol(env, nullptr, 10);
+    if (v > 0) n = unsigned(v);
+  }
+  return std::min<unsigned>(n, batch);
+}
+
 struct EventRef {
   const uint64_t* ids;
   const float* vals;
@@ -194,8 +206,7 @@ PyObject* assemble_sparse_batch(PyObject*, PyObject* args, PyObject* kwargs) {
   const npy_intp stride = max_voxels * (ndim + 1);
 
   Py_BEGIN_ALLOW_THREADS
-  unsigned n_threads =
-      std::min<unsigned>(std::thread::hardware_concurrency(), unsigned(b));
+  unsigned n_threads = pool_threads(unsigned(b));
   if (n_threads <= 1) {
     for (Py_ssize_t i = 0; i < b; ++i)
       fill_event(events[i], out_data + i * stride, max_voxels, dims, ndim,
@@ -404,8 +415,7 @@ PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
   const int32_t* cdata = (const int32_t*)PyArray_DATA(coords);
 
   Py_BEGIN_ALLOW_THREADS
-  unsigned n_threads =
-      std::min<unsigned>(std::thread::hardware_concurrency(), unsigned(b));
+  unsigned n_threads = pool_threads(unsigned(b));
   std::atomic<long> next(0);
   auto work = [&]() {
     for (;;) {

@@ -53,24 +53,93 @@ def generate_event(
     n_cpi = int(rng.random() < 0.3)  # charged pion present: 2 classes
     n_npi = int(rng.random() < 0.25)  # neutral pion present: 2 classes
 
-    # track multiplicity/energy depends on the class content so labels are
-    # learnable from topology; mean_tracks scales the whole event up for
-    # detector-occupancy studies (default 3.0 = multiplier 1, ~1-7 tracks)
-    n_tracks = 1 + neut_class + n_protons + n_cpi + 2 * n_npi
-    if cfg.mean_tracks != 3.0:
-        n_tracks = max(n_tracks, round(n_tracks * cfg.mean_tracks / 3.0))
+    # Each label leaves a TOPOLOGICAL signature (the discriminants real
+    # LArTPC classifiers use), so every head is learnable from shape, not
+    # just multiplicity (r3's count-only generator left neutID near its
+    # Bayes limit ~55%):
+    #   nu_e CC  -> EM shower cone at the vertex
+    #   nu_mu CC -> one long straight MIP track
+    #   NC       -> hadronic stubs only
+    #   proton   -> short straight track with high dE/dx (kept from r3)
+    #   pi+-     -> kinked track (two segments sharing an endpoint)
+    #   pi0      -> two DISPLACED photon showers (conversion gap)
     pts = []
     vals = []
-    for t in range(n_tracks):
-        direction = rng.normal(size=d)
-        direction /= np.linalg.norm(direction) + 1e-9
-        length = rng.uniform(0.1, 0.45) * dims.min()
-        steps = np.linspace(0, length, cfg.steps_per_track)
-        track = vertex[None, :] + steps[:, None] * direction[None, :]
+
+    def add_track(start, length, dedx, steps=None, direction=None):
+        if direction is None:
+            direction = rng.normal(size=d)
+            direction /= np.linalg.norm(direction) + 1e-9
+        s = np.linspace(0, length, steps or cfg.steps_per_track)
+        track = start[None, :] + s[:, None] * direction[None, :]
         track += rng.normal(scale=0.5, size=track.shape)  # diffusion
-        dedx = rng.uniform(0.5, 2.0) * (1.0 + 0.5 * n_protons)
         pts.append(track)
-        vals.append(np.full(len(track), dedx) * rng.uniform(0.7, 1.3, len(track)))
+        vals.append(
+            np.full(len(track), dedx) * rng.uniform(0.7, 1.3, len(track))
+        )
+        return start + length * direction
+
+    def add_shower(start, length, n_points, dedx=0.8):
+        axis = rng.normal(size=d)
+        axis /= np.linalg.norm(axis) + 1e-9
+        # cone: longitudinal profile with transverse spread growing along
+        # the axis (Moliere-radius-like) — visually distinct from tracks
+        t = rng.uniform(0, 1, n_points) ** 0.7 * length
+        perp = rng.normal(size=(n_points, d))
+        perp -= (perp @ axis)[:, None] * axis[None, :]
+        spread = 0.05 * length + 0.22 * t
+        shower = start[None, :] + t[:, None] * axis[None, :]
+        shower += perp * (spread / (np.linalg.norm(perp, axis=1) + 1e-9))[
+            :, None
+        ]
+        pts.append(shower)
+        vals.append(
+            np.full(n_points, dedx) * rng.uniform(0.5, 1.5, n_points)
+        )
+
+    spt = cfg.steps_per_track
+    scale = max(1.0, cfg.mean_tracks / 3.0)  # occupancy multiplier
+    if neut_class == 0:  # nu_e CC: EM shower at the vertex
+        add_shower(
+            vertex, rng.uniform(0.25, 0.5) * dims.min(), int(2 * spt)
+        )
+    elif neut_class == 1:  # nu_mu CC: one long MIP track
+        add_track(
+            vertex, rng.uniform(0.55, 0.9) * dims.min(),
+            dedx=rng.uniform(0.8, 1.2), steps=int(1.5 * spt),
+        )
+    for _ in range(n_protons):  # short, high dE/dx stubs
+        add_track(
+            vertex, rng.uniform(0.05, 0.15) * dims.min(),
+            dedx=rng.uniform(2.5, 4.0),
+        )
+    if n_cpi:  # charged pion: kinked track
+        elbow = add_track(
+            vertex, rng.uniform(0.1, 0.3) * dims.min(),
+            dedx=rng.uniform(0.9, 1.4),
+        )
+        add_track(
+            np.clip(elbow, 0, dims - 1),
+            rng.uniform(0.1, 0.3) * dims.min(),
+            dedx=rng.uniform(0.9, 1.4),
+        )
+    if n_npi:  # neutral pion: two displaced photon showers
+        for _ in range(2):
+            gap_dir = rng.normal(size=d)
+            gap_dir /= np.linalg.norm(gap_dir) + 1e-9
+            start = vertex + gap_dir * rng.uniform(0.04, 0.1) * dims.min()
+            add_shower(
+                np.clip(start, 0, dims - 1),
+                rng.uniform(0.15, 0.3) * dims.min(), int(1.2 * spt),
+            )
+    # hadronic background stubs; count scales the event to detector
+    # occupancy (mean_tracks=40 -> ~25k voxels, the bench distribution)
+    n_bg = max(1, int(rng.poisson(1 + 2.8 * scale)))
+    for _ in range(n_bg):
+        add_track(
+            vertex, rng.uniform(0.1, 0.45) * dims.min(),
+            dedx=rng.uniform(0.5, 2.0),
+        )
     pts = np.concatenate(pts)
     vals = np.concatenate(vals)
 

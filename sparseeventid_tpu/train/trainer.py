@@ -193,8 +193,9 @@ class Trainer:
             return shard_batch(self.mesh, args)
         return args
 
-    def _image_to_input(self, image):
-        """Convert a padded larcv image array to the model's input format."""
+    def _image_to_input(self, image, max_voxels: int | None = None):
+        """Convert a padded larcv image array to the model's input format.
+        ``max_voxels`` selects a reduced capacity schedule (SimCLR views)."""
         if self.input_mode == "points":
             from ..io.transforms import larcv_batch_to_pointcloud
 
@@ -208,7 +209,7 @@ class Trainer:
             return jnp.asarray(
                 larcv_batch_to_dense(image, self.image_shape), self._batch_dtype
             )
-        cap0 = self._capacities()[0]
+        cap0 = self._capacities(max_voxels)[0]
         if self.cfg.data.dimension == 2:
             x = larcv_batch_to_sparse_2d(image, self.image_shape,
                                          capacity=cap0)
@@ -274,7 +275,7 @@ class Trainer:
             stride = (2, 2, 2)
         return ik, sks, stride
 
-    def _plan_geometry(self):
+    def _plan_geometry(self, max_voxels: int | None = None):
         from ..ops import engine as _eng
         from ..ops.pallas.window_conv import (
             window_r_default,
@@ -283,7 +284,7 @@ class Trainer:
             window_r_strided,
         )
 
-        caps = self._capacities()
+        caps = self._capacities(max_voxels)
         ik, sks, stride = self._plan_kernels()
         k_i = int(np.prod(ik))
         k_d = int(np.prod(stride))
@@ -306,7 +307,8 @@ class Trainer:
         )
 
     def _compute_host_plans(
-        self, image: np.ndarray, indices=None, split: str = ""
+        self, image: np.ndarray, indices=None, split: str = "",
+        max_voxels: int | None = None,
     ):
         from ..io.hostio import build_window_plans
 
@@ -346,7 +348,7 @@ class Trainer:
                     max_bytes=self.cfg.framework.plan_cache_mb * (1 << 20),
                 )
             return self._plan_cache.plans_for(split, coords, indices)
-        return build_window_plans(coords, **self._plan_geometry())
+        return build_window_plans(coords, **self._plan_geometry(max_voxels))
 
     def _host_plans(self, batch: Dict):
         if not self._plans_enabled:
@@ -441,13 +443,22 @@ class Trainer:
         logger.info(f"Model parameters: {param_count(state.params):,}")
         return self._restore(state)
 
-    def _capacities(self) -> Tuple[int, ...]:
-        from ..config.schema import sparse_capacity
+    def _capacities(self, max_voxels: int | None = None) -> Tuple[int, ...]:
+        """Per-level COO capacities; ``max_voxels`` overrides the dataset
+        budget (SimCLR views run at data.aug_max_voxels — the reference
+        fills augmented views at MaxVoxels=3000, larcv_fetcher.py:182,203)."""
+        from ..config.schema import image_size, sparse_capacity
         from ..models.encoder import capacity_schedule
 
         cfg = self.cfg
+        if max_voxels is None:
+            n0 = sparse_capacity(cfg)
+        else:
+            n0 = max_voxels
+            if cfg.data.dimension == 2:
+                n0 *= image_size(cfg)[0]  # plane-axis concat (schema.py)
         return capacity_schedule(
-            sparse_capacity(cfg),
+            n0,
             cfg.encoder.depth,
             cfg.framework.capacity_shrink,
             cfg.framework.min_capacity,
@@ -536,10 +547,15 @@ class Trainer:
             t1 = t2 = True
         self._augment_rng = np.random.default_rng(cfg.run.seed + 101)
 
+        # Views run at the reference's augmented-view budget (BatchFiller
+        # MaxVoxels=3000, larcv_fetcher.py:182,203), NOT the supervised
+        # 50k: this is both reference parity and what keeps the per-view
+        # host-plan builds (uncacheable: coords change per draw) cheap.
+        vm = min(cfg.data.aug_max_voxels, cfg.data.max_voxels)
         kwargs = dict(
             encoder_cfg=cfg.encoder,
             dimension=cfg.data.dimension,
-            capacities=self._capacities(),
+            capacities=self._capacities(vm),
             backend=cfg.framework.sparse_backend,
             remat=cfg.framework.remat,
         )
@@ -547,19 +563,31 @@ class Trainer:
 
         pb = self._plans_builder()
 
+        def view(image):
+            """Augment + truncate to the view voxel budget.  Augmented
+            valid rows are compacted to the front (io/augment.py), so the
+            slice keeps the first ``vm`` voxels — the reference filler's
+            MaxVoxels truncation semantics."""
+            v = self._augment(image)
+            return v[..., :vm, :] if v.shape[-2] > vm else v
+
         def prepare(batch):
             image = batch["image"]
-            v1 = self._augment(image) if t1 else image
-            v2 = self._augment(image) if t2 else image
+            v1 = view(image) if t1 else image[..., :vm, :]
+            v2 = view(image) if t2 else image[..., :vm, :]
             host = None
             if pb is not None:
                 # per-view plans: the augmented coordinate sets differ
                 host = (
-                    self._compute_host_plans(v1),
-                    self._compute_host_plans(v2),
+                    self._compute_host_plans(v1, max_voxels=vm),
+                    self._compute_host_plans(v2, max_voxels=vm),
                 )
             return self._shard(
-                (self._image_to_input(v1), self._image_to_input(v2), host)
+                (
+                    self._image_to_input(v1, max_voxels=vm),
+                    self._image_to_input(v2, max_voxels=vm),
+                    host,
+                )
             )
 
         st1, st2, host0 = prepare(self._example_batch())

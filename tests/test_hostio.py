@@ -167,3 +167,45 @@ def test_native_2d_projection_reads_match_h5py(tmp_path):
     assert not ds._native_read
     fallback = ds.batch([0, 3, 5])
     np.testing.assert_allclose(native["image"], fallback["image"], rtol=1e-6)
+
+
+def test_window_plans_threaded_matches_serial(monkeypatch):
+    """SEID_PLAN_THREADS forces the worker-pool path even on 1-core hosts:
+    a 4-thread build must be bit-identical to the serial build (thread
+    safety + determinism of the per-event work split; the scaling itself
+    is core-count-bound — PERF_NOTES r3 host core-count note).  Also covers
+    the threaded batch assembler."""
+    from sparseeventid_tpu.io.hostio import (
+        assemble_sparse_batch,
+        build_window_plans,
+    )
+
+    rng = np.random.default_rng(3)
+    grid, cap, depth = (64, 64, 64), 1024, 2
+    coords = np.full((8, cap, 3), -1, np.int32)
+    events = []
+    for b in range(8):
+        n = 700
+        c = np.unique(rng.integers(0, 64, (n, 3)).astype(np.int32), axis=0)
+        coords[b, : len(c)] = c
+        ids = (
+            (c[:, 0].astype(np.uint64) * 64 + c[:, 1]) * 64 + c[:, 2]
+        )
+        events.append((ids, rng.standard_normal(len(c)).astype(np.float32)))
+    caps = [cap, cap // 2, cap // 4]
+    kw = dict(
+        grid=grid, caps=caps, initial_kernel=(5, 5, 5),
+        series_kernel=(3, 3, 3), stride=(2, 2, 2), window_r=176,
+        ov_caps=[256] * (depth + 1), ov_cap_initial=512,
+        ov_caps_down=[256] * depth, window_r_down=320,
+    )
+    monkeypatch.setenv("SEID_PLAN_THREADS", "1")
+    serial = build_window_plans(coords, **kw)
+    asm_serial = assemble_sparse_batch(events, cap, grid, normalize=True)
+    monkeypatch.setenv("SEID_PLAN_THREADS", "4")
+    threaded = build_window_plans(coords, **kw)
+    asm_threaded = assemble_sparse_batch(events, cap, grid, normalize=True)
+    assert serial.keys() == threaded.keys()
+    for key in serial:
+        np.testing.assert_array_equal(serial[key], threaded[key], err_msg=key)
+    np.testing.assert_array_equal(asm_serial, asm_threaded)
