@@ -48,6 +48,10 @@ CONFIGS = {
         ["name=simclr", "data.transform1=true", "data.transform2=true"],
         "dune3d",
     ),
+    # vertex finding + unsupervised event ID at detector scale (the last
+    # two reference tasks without an e2e throughput number)
+    "vertex": ("dune3d", ["name=yolo"], "dune3d"),
+    "unsupervised": ("dune3d", ["name=unsupervised_eventID"], "dune3d"),
 }
 
 
