@@ -19,6 +19,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -414,6 +415,14 @@ PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
   std::vector<EventPlans> evs(static_cast<size_t>(b));
   const int32_t* cdata = (const int32_t*)PyArray_DATA(coords);
 
+  // Test hook: a per-event sleep lets tests assert the pool genuinely
+  // overlaps per-event work across workers even on a 1-core host (sleeping
+  // threads overlap regardless of core count; real compute is core-bound —
+  // PERF_NOTES r3 host core-count note).
+  long test_delay_us = 0;
+  if (const char* env = std::getenv("SEID_PLAN_TEST_DELAY_US"))
+    test_delay_us = std::atol(env);
+
   Py_BEGIN_ALLOW_THREADS
   unsigned n_threads = pool_threads(unsigned(b));
   std::atomic<long> next(0);
@@ -421,6 +430,9 @@ PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
     for (;;) {
       long i = next.fetch_add(1);
       if (i >= b) return;
+      if (test_delay_us > 0)
+        std::this_thread::sleep_for(
+            std::chrono::microseconds(test_delay_us));
       build_event_plans(cdata + i * cap0 * 3, cap0, grid, caps.data(), depth,
                         init_k, ser_k.data(), stride, series_ps.data(),
                         initial_ps, down_ps.data(), window_r,
