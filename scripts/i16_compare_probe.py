@@ -31,6 +31,10 @@ STEPS = 4096
 
 
 def make_kernel(dtype):
+    # NOTE: win operand is [R, K] (not [K, R]): Mosaic rejects inserting a
+    # minor dim on 16-bit vectors ("not a no-op only supported for 32-bit
+    # types"), so the [R, 1] window column must come from a 2D slice, and
+    # the [1, T] query row likewise.
     def kern(win_ref, qt_ref, out_ref, acc):
         step = pl.program_id(0)
 
@@ -38,11 +42,11 @@ def make_kernel(dtype):
         def _init():
             acc[...] = jnp.zeros_like(acc)
 
-        w = win_ref[...]  # [K, R] of dtype
+        w = win_ref[...]  # [R, K] of dtype
         q = qt_ref[...]  # [K, T]
         s = jnp.zeros((R, T), jnp.float32)
         for k in range(K):
-            oh = (w[k][:, None] == q[k][None, :]).astype(jnp.bfloat16)
+            oh = (w[:, k:k + 1] == q[k:k + 1, :]).astype(jnp.bfloat16)
             s = s + oh.astype(jnp.float32)
         acc[...] += s
 
@@ -79,7 +83,7 @@ def run(dtype, win, qt):
 
 def main():
     r = np.random.default_rng(0)
-    base = r.integers(0, 3000, (K, R)).astype(np.int32)
+    base = r.integers(0, 3000, (R, K)).astype(np.int32)
     qt32 = r.integers(0, 3000, (K, T)).astype(np.int32)
     win16 = jnp.asarray(base.astype(np.int16))
     qt16 = jnp.asarray(qt32.astype(np.int16))
