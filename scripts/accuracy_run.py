@@ -340,7 +340,7 @@ def main():
         f"{resumed_at} and continued to {final_step} (keep-5 GC, latest "
         "pointer — utils/checkpoint.py).",
         "",
-        "Raw curves: see ACCURACY.json.",
+        f"Raw curves: see {Path(args.out).with_suffix('.json').name}.",
     ]
     if PRESET == "dune3d" and val_w:
         lines += ["", "## Val accuracy curve (every 25 steps)", "", "```"]
@@ -352,7 +352,10 @@ def main():
             lines.append(f"step {m['step']:5d}  loss {m['loss/loss']:.4f}  {accs}")
         lines.append("```")
     Path(args.out).write_text("\n".join(lines) + "\n")
-    Path("ACCURACY.json").write_text(
+    # raw curves live next to the markdown they back (ACCURACY.json for
+    # the small preset, ACCURACY_dune3d.json for the recipe preset)
+    json_path = Path(args.out).with_suffix(".json")
+    Path(json_path).write_text(
         json.dumps(
             dict(
                 window_train=tr_w, window_val=val_w, window_final=final_w,
