@@ -269,7 +269,8 @@ def main():
     )
     lines = header + [
         "",
-        "## Final val accuracy (mean ± std over 16 val batches of 8)",
+        "## Final val accuracy (mean ± std over "
+        f"{32 if PRESET == 'dune3d' else 16} val batches of 8)",
         "",
         "| head | accuracy | chance |",
         "|---|---|---|",

@@ -183,7 +183,7 @@ def run_tpu(nbricks4, nbricks8, pairs_per_tile, s_rows, n_tiles):
 
     r = np.random.default_rng(0)
 
-    def timeit(fn, *args, iters=10):
+    def timeit(fn, *args, iters=20):
         o = fn(*args)
         _ = float(jnp.sum(o.astype(jnp.float32)))
         t0 = time.perf_counter()
@@ -193,15 +193,19 @@ def run_tpu(nbricks4, nbricks8, pairs_per_tile, s_rows, n_tiles):
         return (time.perf_counter() - t0) / iters * 1000
 
     def chain(f, n):
-        def g(x):
+        # every array operand is a jit ARGUMENT: closure-captured weights
+        # are compile-time constants that XLA can fold/reassociate across
+        # the chain (measured: a folded brick GEMM chain "ran" at 3.4x
+        # chip peak — the repo's zero-arg-closure trap, PERF_NOTES r2)
+        def g(x, *ws):
             for _ in range(n):
-                x = f(x)
+                x = f(x, *ws)
             return x
         return jax.jit(g)
 
-    def slope(f, x, label, scale=1.0, note=""):
-        t1 = timeit(chain(f, 1), x)
-        t8 = timeit(chain(f, 8), x)
+    def slope(f, x, label, scale=1.0, note="", extra=()):
+        t1 = timeit(chain(f, 1), x, *extra)
+        t8 = timeit(chain(f, 8), x, *extra)
         s = (t8 - t1) / 7 * scale
         print(
             f"{label:28s} N=1 {t1:7.2f}  N=8 {t8:7.2f}  "
@@ -233,12 +237,14 @@ def run_tpu(nbricks4, nbricks8, pairs_per_tile, s_rows, n_tiles):
     w = jnp.asarray(
         r.integers(-2, 3, (K, C, CO)).astype(np.float32), jnp.bfloat16
     )
-    base = lambda x: wc.window_conv_apply(
-        keys, x, plan.qkeys, plan.start, w, plan.q_active,
-        window_r=R, q_bound=None,
+    base = lambda x, kk, qk, stt, ww, qa: wc.window_conv_apply(
+        kk, x, qk, stt, ww, qa, window_r=R, q_bound=None,
     ).astype(jnp.bfloat16)
-    t_base = slope(base, st.feats, "production window conv",
-                   note="(total incl. compare+staging)")
+    t_base = slope(
+        base, st.feats, "production window conv",
+        note="(total incl. compare+staging)",
+        extra=(keys, plan.qkeys, plan.start, w, plan.q_active),
+    )
 
     # -------- (a) brick floor: im2col GEMM, all gathers free.
     # Full M = nbricks * b^3 (batch total) is GB-scale; GEMMs are linear
@@ -256,13 +262,14 @@ def run_tpu(nbricks4, nbricks8, pairs_per_tile, s_rows, n_tiles):
     )
     # round-trip keeps chain shapes stable; each leg is the same
     # pass-count GEMM, so one im2col GEMM = slope/2
-    gemm = lambda x: ((x @ wa) @ wb).astype(jnp.bfloat16)
+    gemm = lambda x, u, v: ((x @ u) @ v).astype(jnp.bfloat16)
     for b_edge, nb in ((4, nbricks4), (8, nbricks8)):
         m_full = nb * B * b_edge ** 3
         s = slope(
             gemm, a, f"brick b={b_edge} floor GEMM",
             scale=0.5 * m_full / m_probe,
             note=f"(scaled to M={m_full})",
+            extra=(wa, wb),
         )
         print(
             f"    -> brick b={b_edge} floor {s:6.3f} ms/conv vs "
@@ -299,14 +306,15 @@ def run_tpu(nbricks4, nbricks8, pairs_per_tile, s_rows, n_tiles):
         jnp.bfloat16,
     )
 
-    def sel_chain(x):
-        g = bdot(oh, x).astype(jnp.bfloat16)  # [t, Ppad, C]
-        return bdot(proj, g).astype(jnp.bfloat16)  # [t, Spad, C]
+    def sel_chain(x, o, pr):
+        g = bdot(o, x).astype(jnp.bfloat16)  # [t, Ppad, C]
+        return bdot(pr, g).astype(jnp.bfloat16)  # [t, Spad, C]
 
     s_sel = slope(
         sel_chain, xs, "pair select GEMM (x2 legs)",
         scale=n_tiles / nt_probe,
         note=f"(scaled to {n_tiles} tiles, S={s_pad}, P={p_pad})",
+        extra=(oh, proj),
     )
     # per-pair weights are unavoidable: pairs sorted by offset give a
     # block-diagonal weight GEMM via k-slot expansion [P, K*C] @ [K*C, CO]
@@ -323,10 +331,11 @@ def run_tpu(nbricks4, nbricks8, pairs_per_tile, s_rows, n_tiles):
         r.integers(-3, 4, (mw, kdim)).astype(np.float32), jnp.bfloat16
     )
     s_kslot = slope(
-        lambda x: ((x @ wk) @ wkb).astype(jnp.bfloat16), px,
+        lambda x, u, v: ((x @ u) @ v).astype(jnp.bfloat16), px,
         "pair k-slot weight GEMM",
         scale=0.5 * n_tiles / nt_probe,
         note=f"(M={p_pad}/tile, K={kdim}; /2 round-trip)",
+        extra=(wk, wkb),
     )
     # scatter-add pairs back to the 128 output rows: one-hot [T, P] @ [P, CO]
     sc = jnp.asarray(
@@ -342,12 +351,13 @@ def run_tpu(nbricks4, nbricks8, pairs_per_tile, s_rows, n_tiles):
         jnp.bfloat16,
     )
     s_scatter = slope(
-        lambda x: bdot(scb, bdot(sc, x).astype(jnp.bfloat16)).astype(
+        lambda x, s1, s2: bdot(s2, bdot(s1, x).astype(jnp.bfloat16)).astype(
             jnp.bfloat16
         ),
         pco, "pair scatter GEMM (x2 legs)",
         scale=n_tiles / nt_probe,
         note=f"(T={TILE}, P={p_pad})",
+        extra=(sc, scb),
     )
     floor_b = s_sel / 2 + s_kslot + s_scatter / 2
     print(
