@@ -41,14 +41,28 @@ import accuracy_run as acc  # noqa: E402  (reuses file paths/presets)
 
 
 def parse_train_curve(log_path):
+    # broad float pattern: a diverged segment printing nan/inf (or a loss
+    # in scientific notation) must appear in the curve, not vanish from it
+    # (ADVICE r4)
     curve = []
-    pat = re.compile(r"\[window\] step (\d+): loss ([0-9.]+)")
+    pat = re.compile(
+        r"\[window\] step (\d+): loss ([-+0-9.eE]+|nan|inf)", re.IGNORECASE
+    )
+    n_lines = 0
     for line in Path(log_path).read_text().splitlines():
+        if "[window] step" in line:
+            n_lines += 1
         m = pat.match(line.strip())
         if m:
             curve.append(
                 {"step": int(m.group(1)), "loss/loss": float(m.group(2))}
             )
+    if len(curve) < n_lines:
+        print(
+            f"WARNING: parsed {len(curve)} of {n_lines} step lines in "
+            f"{log_path} — some losses did not parse as floats",
+            flush=True,
+        )
     return curve
 
 
@@ -145,13 +159,19 @@ def main():
 
     # run the comparison defensively: if the XLA backend still cannot fit
     # (or the compile service wedges), the final-val + convergence + resume
-    # evidence must still be written
+    # evidence must still be written.  Each backend run gets its OWN try +
+    # an incremental write_doc, so a completed (slow, wedge-prone) XLA
+    # curve survives a later window-phase failure (ADVICE r4, medium).
+    tr_x, w_short = [], []
     try:
         tr_x = run_compare("xla", args.xla_steps)
+    except Exception as e:  # noqa: BLE001
+        print(f"xla comparison run failed: {e!r}", flush=True)
+    write_doc(args, chance, tr_w, final_w, std_w, tr_x, w_short, -1, -1)
+    try:
         w_short = run_compare("window", args.xla_steps)
     except Exception as e:  # noqa: BLE001
-        print(f"backend comparison failed: {e!r}", flush=True)
-        tr_x, w_short = [], []
+        print(f"window comparison run failed: {e!r}", flush=True)
     write_doc(args, chance, tr_w, final_w, std_w, tr_x, w_short, -1, -1)
 
     try:

@@ -160,11 +160,15 @@ def pair_dma_stats(events, offs):
         f"p90 {np.percentile(pt, 90):5.0f}   8-row DMA blocks/tile "
         f"per-offset-sum mean {bs.mean():6.1f} (rows {8 * bs.mean():6.0f})  "
         f"union mean {bu.mean():6.1f} p90 {np.percentile(bu, 90):5.0f} "
-        f"(rows mean {ru.mean():6.0f})   window engine stages R={R}"
+        f"(rows mean {ru.mean():6.0f} p90 {np.percentile(ru, 90):6.0f})   "
+        f"window engine stages R={R}"
     )
+    # floor GEMM sized from the MEAN staged union rows (a uniform p90
+    # overstates the candidate's MXU floor — ADVICE r4); the p90 is
+    # printed above for the conservative reading
     return (
         float(pt.mean()),
-        float(np.percentile(ru, 90)),
+        float(ru.mean()),
         int(np.ceil(pt.sum() / len(events) * B / TILE)),
     )
 

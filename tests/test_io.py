@@ -111,3 +111,47 @@ def test_dense_transform_roundtrip():
     from sparseeventid_tpu import ops
 
     np.testing.assert_allclose(np.asarray(ops.to_dense(st)), dense, rtol=1e-6)
+
+
+def test_file_premerge_chunks(tmp_path, larcv_file):
+    """scripts/file_premerge.py: chunked merge preserves every event in
+    file order (/root/reference/scripts/file_premerge.py:12-33 parity)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "file_premerge",
+        Path(__file__).resolve().parents[1] / "scripts" / "file_premerge.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # three 12-event inputs, chunk size 2 -> chunks of 24 and 12 events
+    inputs = [larcv_file]
+    for i in range(2):
+        p = tmp_path / f"in{i}.h5"
+        write_synthetic_larcv_file(p, n_events=12, image_size=(32, 32, 32),
+                                   seed=10 + i)
+        inputs.append(p)
+    written = mod.premerge(inputs, str(tmp_path / "pre"), chunk_size=2)
+    assert [p.name for p in written] == ["pre_chunk2_0.h5", "pre_chunk2_1.h5"]
+
+    merged = [
+        LarcvDataset(p, "dunevoxels", dimension=3, max_voxels=4096,
+                     normalize=False)
+        for p in written
+    ]
+    assert [len(d) for d in merged] == [24, 12]
+    sources = [
+        LarcvDataset(p, "dunevoxels", dimension=3, max_voxels=4096,
+                     normalize=False)
+        for p in inputs
+    ]
+    flat = [(d, i) for d in sources for i in range(len(d))]
+    out_flat = [(d, i) for d in merged for i in range(len(d))]
+    for (sd, si), (od, oi) in zip(flat, out_flat):
+        np.testing.assert_array_equal(
+            sd.batch([si])["image"][0], od.batch([oi])["image"][0]
+        )
+        for k in OUTPUT_SHAPE:
+            assert sd.batch([si])[k][0] == od.batch([oi])[k][0]
