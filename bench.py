@@ -7,15 +7,23 @@ grid 1024x512x1280, MaxVoxels=50000; encoder depth 5, 4 residual blocks/level,
 32->192 filters, resnet.py + config/network.py defaults).  Events are
 synthetic track-like topologies at a realistic active-voxel count.
 
+TWO occupancy regimes are measured and reported in ONE JSON line (VERDICT
+r4 task #4): the 25k-active bench regime (the historical headline, kernel
+tuning R=144) and the TRUE full-dune3d regime (~36k active voxels/event,
+kernel-default tuning R=160/176 — R=144 drops pairs there).
+
 The reference publishes no numbers (BASELINE.md).  vs_baseline is computed
-against an assumed 30 events/s/GPU for an A100 + MinkowskiEngine/SCN-class
+against an ASSUMED 30 events/s/GPU for an A100 + MinkowskiEngine/SCN-class
 submanifold ResNet of this depth at 25-50k active voxels — the class of
 system named in the BASELINE.json north star ("5x A100+MinkowskiEngine-class
-events/sec/chip" -> vs_baseline 5.0 means the north star is met).
+events/sec/chip" -> vs_baseline 5.0 means the north star is met).  The
+assumption is carried in the JSON itself as ``baseline_assumed``.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...,
+"regime_36k": {...}}.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -27,7 +35,8 @@ ASSUMED_A100_MINKOWSKI_EVENTS_PER_S = 30.0
 
 GRID = (1024, 512, 1280)
 MAX_VOXELS = 50000
-ACTIVE_VOXELS = 25000  # typical occupancy is well under the 50k cap
+ACTIVE_VOXELS = 25000  # historical bench occupancy (light end of dune3d)
+ACTIVE_VOXELS_FULL = 36000  # true full-dune3d occupancy (BENCH_e2e regime)
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 WARMUP = 24  # first post-compile iterations run ~20% slow (device-side
             # caching/allocator warmup); measured blocks must be steady-state
@@ -114,16 +123,59 @@ def useful_macs_per_train_step(coords_np, cfg):
     return 3 * macs  # fwd + dgrad + wgrad
 
 
-def main():
-    _ensure_native_ext()
-    import jax
+def make_batch(active_voxels, n_tracks, seed=0):
+    """Track-like synthetic events at the requested active-voxel count."""
     import jax.numpy as jnp
     import numpy as np
 
     from sparseeventid_tpu import ops
+    from sparseeventid_tpu.config.schema import OUTPUT_SHAPE
+    from sparseeventid_tpu.models.encoder import GRID_QUANTUM, _round_up
+
+    r = np.random.default_rng(seed)
+    coords = np.full((BATCH, MAX_VOXELS, 3), -1, np.int32)
+    feats = np.zeros((BATCH, MAX_VOXELS, 1), np.float32)
+    occ = []
+    for b in range(BATCH):
+        per = active_voxels // n_tracks
+        pts = []
+        for t in range(n_tracks):
+            start = r.uniform(0.2, 0.8, 3) * np.array(GRID)
+            d = r.normal(size=3)
+            d /= np.linalg.norm(d)
+            steps = np.arange(per)[:, None] * d[None, :] * 2.0
+            pts.append(start[None, :] + steps + r.normal(scale=0.6, size=(per, 3)))
+        pts = np.concatenate(pts)
+        np.clip(pts, 0, np.array(GRID) - 1, out=pts)
+        c = np.unique(pts.astype(np.int32), axis=0)
+        k = min(len(c), MAX_VOXELS)
+        coords[b, :k] = c[:k]
+        feats[b, :k, 0] = r.standard_normal(k)
+        occ.append(k)
+    st = ops.build_sparse_tensor(
+        jnp.asarray(coords), jnp.asarray(feats), GRID,
+        capacity=_round_up(MAX_VOXELS, GRID_QUANTUM),
+    )
+    st = st.with_feats(st.feats.astype(jnp.bfloat16))
+    labels = {
+        k: jnp.asarray(r.integers(0, v, BATCH).astype(np.int32))
+        for k, v in OUTPUT_SHAPE.items()
+    }
+    return st, labels, int(np.mean(occ))
+
+
+def run_regime(active_voxels, n_tracks, overrides, qbound_frac,
+               qbound_growth):
+    """Build the full production train step for one occupancy regime and
+    measure steady-state events/s (median of straggler-filtered blocks)."""
+    import jax
+    import numpy as _np
+
     from sparseeventid_tpu.config import load_config
-    from sparseeventid_tpu.config.schema import LossBalanceScheme, OUTPUT_SHAPE
+    from sparseeventid_tpu.config.schema import LossBalanceScheme
+    from sparseeventid_tpu.io.hostio import HAVE_NATIVE
     from sparseeventid_tpu.models import build_sparse_classifier
+    from sparseeventid_tpu.ops.pallas.window_conv import configure_tuning
     from sparseeventid_tpu.train import (
         build_lr_schedule,
         build_optimizer,
@@ -131,23 +183,10 @@ def main():
         make_train_step,
     )
 
-    import os
-
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
-    # Host-built window plans are the production path (C++ prefetch workers,
-    # io/_hostio.cpp); BENCH_HOST_PLANS=0 falls back to on-device plan
-    # construction inside the jitted step.
-    from sparseeventid_tpu.io.hostio import HAVE_NATIVE
-
     host_plans = (
         os.environ.get("BENCH_HOST_PLANS", "1") != "0" and HAVE_NATIVE
     )
-    # Static query bound: occupancy peaks ~20k of the 50k cap at level 0
-    # and shrinks ~0.75x/level vs the 0.5x capacity schedule; frac 0.5 with
-    # growth 1.6 keeps >=23% margin at levels 0-1 and disables the bound
-    # deeper (any excess would surface in overflow_dropped below).
-    qbound_frac = float(os.environ.get("BENCH_QBOUND_FRAC", "0.5"))
-    qbound_growth = float(os.environ.get("BENCH_QBOUND_GROWTH", "1.6"))
     cfg = load_config(
         "dune3d",
         [
@@ -157,92 +196,50 @@ def main():
             f"framework.remat={'true' if remat else 'false'}",
             f"encoder.query_bound_frac={qbound_frac}",
             f"encoder.query_bound_growth={qbound_growth}",
-            # R=144 shallow/initial is the measured optimum at THIS bench's
-            # ~25k occupancy and drop-free here (overflow_dropped printed
-            # below is the guard); the kernel defaults are sized for full
-            # 26-42k dune3d occupancy where 144 overflows (r3 e2e notes).
-            "framework.tuning.window_r=144",
-            "framework.tuning.window_r_initial=144",
-        ],
+        ]
+        + overrides,
     )
-    import dataclasses
-
     cfg = dataclasses.replace(
         cfg, data=dataclasses.replace(cfg.data, max_voxels=MAX_VOXELS)
     )
-    from sparseeventid_tpu.ops.pallas.window_conv import configure_tuning
-
     configure_tuning(**dataclasses.asdict(cfg.framework.tuning))
     model = build_sparse_classifier(cfg)
-
-    rng = np.random.default_rng(0)
-
-    def make_batch(seed):
-        r = np.random.default_rng(seed)
-        coords = np.full((BATCH, MAX_VOXELS, 3), -1, np.int32)
-        feats = np.zeros((BATCH, MAX_VOXELS, 1), np.float32)
-        for b in range(BATCH):
-            # track-like: a few hundred segments of correlated voxels
-            n = ACTIVE_VOXELS
-            n_tracks = 40
-            per = n // n_tracks
-            pts = []
-            for t in range(n_tracks):
-                start = r.uniform(0.2, 0.8, 3) * np.array(GRID)
-                d = r.normal(size=3)
-                d /= np.linalg.norm(d)
-                steps = np.arange(per)[:, None] * d[None, :] * 2.0
-                pts.append(start[None, :] + steps + r.normal(scale=0.6, size=(per, 3)))
-            pts = np.concatenate(pts)
-            np.clip(pts, 0, np.array(GRID) - 1, out=pts)
-            c = np.unique(pts.astype(np.int32), axis=0)
-            k = min(len(c), MAX_VOXELS)
-            coords[b, :k] = c[:k]
-            feats[b, :k, 0] = r.standard_normal(k)
-        from sparseeventid_tpu.models.encoder import GRID_QUANTUM, _round_up
-
-        st = ops.build_sparse_tensor(
-            jnp.asarray(coords), jnp.asarray(feats), GRID,
-            capacity=_round_up(MAX_VOXELS, GRID_QUANTUM),
-        )
-        st = st.with_feats(st.feats.astype(jnp.bfloat16))
-        labels = {
-            k: jnp.asarray(r.integers(0, v, BATCH).astype(np.int32))
-            for k, v in OUTPUT_SHAPE.items()
-        }
-        return st, labels
-
-    st, labels = make_batch(0)
+    st, labels, occupancy = make_batch(active_voxels, n_tracks)
 
     pb = None
     host0 = None
     if host_plans:
+        import jax.numpy as jnp
+        import numpy as np
+
         from sparseeventid_tpu.io.hostio import build_window_plans
         from sparseeventid_tpu.models.encoder import capacity_schedule
         from sparseeventid_tpu.ops import engine as _eng
         from sparseeventid_tpu.ops.host_plans import encoder_plans_from_host
-        from sparseeventid_tpu.ops.pallas.window_conv import window_r_default, window_r_for_level, window_r_initial, window_r_strided
+        from sparseeventid_tpu.ops.pallas.window_conv import (
+            window_r_default,
+            window_r_for_level,
+            window_r_initial,
+            window_r_strided,
+        )
 
         caps = capacity_schedule(
             MAX_VOXELS, cfg.encoder.depth, cfg.framework.capacity_shrink,
             cfg.framework.min_capacity,
         )
         coords_np = np.asarray(st.coords)  # sorted, -1 padded: valid input
-
-        def build_host(c):
-            return build_window_plans(
-                c, GRID, list(caps),
-                initial_kernel=(5, 5, 5), series_kernel=(3, 3, 3),
-                stride=(2, 2, 2), window_r=window_r_default(),
-                ov_caps=[_eng._overflow_cap(cc, 27) for cc in caps],
-                ov_cap_initial=_eng._overflow_cap(caps[0], 125),
-                ov_caps_down=[_eng._overflow_cap(cc, 8) for cc in caps[:-1]],
-                window_r_down=window_r_strided(),
-                window_r_initial=window_r_initial(),
-                window_r_series=[window_r_for_level(l) for l in range(len(caps))],
-            )
-
-        host0 = {k: jnp.asarray(v) for k, v in build_host(coords_np).items()}
+        host = build_window_plans(
+            coords_np, GRID, list(caps),
+            initial_kernel=(5, 5, 5), series_kernel=(3, 3, 3),
+            stride=(2, 2, 2), window_r=window_r_default(),
+            ov_caps=[_eng._overflow_cap(cc, 27) for cc in caps],
+            ov_cap_initial=_eng._overflow_cap(caps[0], 125),
+            ov_caps_down=[_eng._overflow_cap(cc, 8) for cc in caps[:-1]],
+            window_r_down=window_r_strided(),
+            window_r_initial=window_r_initial(),
+            window_r_series=[window_r_for_level(l) for l in range(len(caps))],
+        )
+        host0 = {k: jnp.asarray(v) for k, v in host.items()}
         depth = cfg.encoder.depth
 
         def pb(s, h):
@@ -284,8 +281,6 @@ def main():
         _ = float(metrics["loss/loss"])
     dropped = int(metrics.get("overflow/dropped", 0))
 
-    import numpy as _np
-
     rates = []
     kept = []
     for _block in range(BLOCKS + EXTRA_BLOCKS):
@@ -305,44 +300,99 @@ def main():
     # median over KEPT blocks: warmup-straggler blocks (>15% below the
     # median — the known axon residual compile-service artifact) are
     # discarded and replaced; all measured blocks stay in "blocks" below
-    events_per_s = float(_np.median(kept))
-    std = float(_np.std(kept))
+    import numpy as np
+
+    return {
+        "events_per_s": float(_np.median(kept)),
+        "std": float(_np.std(kept)),
+        "blocks": [round(r, 2) for r in rates],
+        "blocks_kept": len(kept),
+        "overflow_dropped": dropped,
+        "occupancy_vox_per_event": occupancy,
+        "host_plans": host_plans,
+        "remat": remat,
+        "coords": np.asarray(st.coords),
+        "cfg": cfg,
+    }
+
+
+def main():
+    _ensure_native_ext()
+    import numpy as np
+
+    # primary regime: the historical 25k-active headline.  R=144
+    # shallow/initial is the measured optimum at this occupancy and
+    # drop-free here (overflow_dropped is the guard); the kernel defaults
+    # are sized for full 26-42k dune3d occupancy where 144 overflows.
+    r25 = run_regime(
+        ACTIVE_VOXELS, 40,
+        ["framework.tuning.window_r=144",
+         "framework.tuning.window_r_initial=144"],
+        qbound_frac=float(os.environ.get("BENCH_QBOUND_FRAC", "0.5")),
+        qbound_growth=float(os.environ.get("BENCH_QBOUND_GROWTH", "1.6")),
+    )
+    # true full-dune3d regime (~36k active): kernel-default window sizes
+    # (drop-free at this occupancy, r3 e2e notes), no query bound.
+    r36 = None
+    if os.environ.get("BENCH_SKIP_36K", "0") != "1":
+        r36 = run_regime(
+            ACTIVE_VOXELS_FULL, 75, [], qbound_frac=1.0, qbound_growth=1.6,
+        )
 
     # Useful-MAC MFU: structural-nonzero MACs only (pairs x Cin x Cout,
     # fwd+bwd) vs chip bf16 peak — VERDICT r3 task #7.  v5e peak = 197
     # bf16 TFLOP/s (394 int8 TOPS / 2).
     peak_tflops = float(os.environ.get("SEID_PEAK_BF16_TFLOPS", "197"))
-    macs = useful_macs_per_train_step(np.asarray(st.coords), cfg)
+    macs = useful_macs_per_train_step(r25["coords"], r25["cfg"])
+    events_per_s = r25["events_per_s"]
     useful_flops_per_s = 2.0 * macs * events_per_s / BATCH
     mfu_useful = useful_flops_per_s / (peak_tflops * 1e12)
-    print(
-        json.dumps(
-            {
-                "metric": "dune3d_train_events_per_sec_per_chip",
-                "value": round(events_per_s, 2),
-                "unit": "events/s",
-                "vs_baseline": round(
-                    events_per_s / ASSUMED_A100_MINKOWSKI_EVENTS_PER_S, 3
-                ),
-                "std": round(std, 3),
-                "blocks": [round(r, 2) for r in rates],
-                "blocks_kept": len(kept),
-                "mfu_useful": round(mfu_useful, 6),
-                "useful_tflops": round(useful_flops_per_s / 1e12, 4),
-                "overflow_dropped": dropped,  # must be 0: no silent pair loss
-                "config": {
-                    "batch": BATCH,
-                    "max_voxels": MAX_VOXELS,
-                    "active_voxels": ACTIVE_VOXELS,
-                    "grid": list(GRID),
-                    "precision": "bfloat16",
-                    "remat": remat,
-                    "host_plans": host_plans,
-                    "iters_per_block": ITERS,
-                },
-            }
-        )
-    )
+    out = {
+        "metric": "dune3d_train_events_per_sec_per_chip",
+        "value": round(events_per_s, 2),
+        "unit": "events/s",
+        "vs_baseline": round(
+            events_per_s / ASSUMED_A100_MINKOWSKI_EVENTS_PER_S, 3
+        ),
+        # the baseline is an ASSUMPTION (reference publishes no numbers  —
+        # BASELINE.md); carried here so every reader of this artifact sees
+        # the asterisk without opening the docstring (VERDICT r4 weak #5)
+        "baseline_assumed": ASSUMED_A100_MINKOWSKI_EVENTS_PER_S,
+        "baseline_is_assumed": True,
+        "std": round(r25["std"], 3),
+        "blocks": r25["blocks"],
+        "blocks_kept": r25["blocks_kept"],
+        "mfu_useful": round(mfu_useful, 6),
+        "useful_tflops": round(useful_flops_per_s / 1e12, 4),
+        "overflow_dropped": r25["overflow_dropped"],  # must be 0
+        "config": {
+            "batch": BATCH,
+            "max_voxels": MAX_VOXELS,
+            "active_voxels": ACTIVE_VOXELS,
+            "occupancy_measured": r25["occupancy_vox_per_event"],
+            "grid": list(GRID),
+            "precision": "bfloat16",
+            "remat": r25["remat"],
+            "host_plans": r25["host_plans"],
+            "iters_per_block": ITERS,
+            "window_r": 144,
+        },
+    }
+    if r36 is not None:
+        out["regime_36k"] = {
+            "value": round(r36["events_per_s"], 2),
+            "vs_baseline": round(
+                r36["events_per_s"] / ASSUMED_A100_MINKOWSKI_EVENTS_PER_S, 3
+            ),
+            "std": round(r36["std"], 3),
+            "blocks": r36["blocks"],
+            "overflow_dropped": r36["overflow_dropped"],
+            "occupancy_measured": r36["occupancy_vox_per_event"],
+            "window_r": "kernel defaults (160/176)",
+            "note": "true full-dune3d occupancy; device-only step rate "
+                    "(BENCH_e2e.json holds the end-to-end loop numbers)",
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

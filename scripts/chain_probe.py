@@ -81,8 +81,8 @@ def conv_chain(n, keys, plan, w):
         x = feats
         for _ in range(n):
             x = wc.window_conv_apply(
-                keys, x, plan.qkeys, plan.start, w, plan.q_active,
-                window_r=176, q_bound=plan.q_bound,
+                keys, x, plan.qmeta, plan.start, w, plan.q_active,
+                plan.dkeys, window_r=176, q_bound=plan.q_bound,
             )
         return x
 

@@ -242,12 +242,12 @@ def run_tpu(nbricks4, nbricks8, pairs_per_tile, s_rows, n_tiles):
         r.integers(-2, 3, (K, C, CO)).astype(np.float32), jnp.bfloat16
     )
     base = lambda x, kk, qk, stt, ww, qa: wc.window_conv_apply(
-        kk, x, qk, stt, ww, qa, window_r=R, q_bound=None,
+        kk, x, qk, stt, ww, qa, plan.dkeys, window_r=R, q_bound=None,
     ).astype(jnp.bfloat16)
     t_base = slope(
         base, st.feats, "production window conv",
         note="(total incl. compare+staging)",
-        extra=(keys, plan.qkeys, plan.start, w, plan.q_active),
+        extra=(keys, plan.qmeta, plan.start, w, plan.q_active),
     )
 
     # -------- (a) brick floor: im2col GEMM, all gathers free.

@@ -141,7 +141,7 @@ def main():
     print(f"full train step: {t_step:.1f} ms", flush=True)
 
     # qkeys/plan adaptation alone
-    t_pb = timeit(jax.jit(lambda s, h: pb(s, h).initial.qkeys), st, host0)
+    t_pb = timeit(jax.jit(lambda s, h: pb(s, h).initial.qmeta), st, host0)
     print(f"plans_from_host (qkeys etc): {t_pb:.1f} ms", flush=True)
 
 

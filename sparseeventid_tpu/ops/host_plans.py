@@ -20,9 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .pallas.window_conv import (
-    INVALID_QUERY,
-    compute_query_keys,
-    compute_strided_query_keys,
+    compute_query_meta,
+    compute_reverse_query_meta,
+    compute_strided_query_meta,
+    key_deltas,
     window_r_default,
     window_r_for_level,
     window_r_initial as _tuned_r_initial,
@@ -31,7 +32,7 @@ from .pallas.window_conv import (
 from .pallas.window_engine import WindowPlan
 from .engine import query_bound
 from .rulebook import kernel_offsets
-from .sparse_tensor import INVALID_KEY, SparseTensor, linearize
+from .sparse_tensor import SparseTensor
 
 
 @jax.tree_util.register_dataclass
@@ -49,19 +50,21 @@ class EncoderPlans:
 def _plan_from_host(
     host: Dict[str, jax.Array],
     prefix: str,
-    qkeys: jax.Array,
+    qmeta: jax.Array,
+    dkeys,
     q_active: jax.Array,
     offsets: np.ndarray,
     window_r: int | None = None,
     q_bound_frac: float = 1.0,
 ) -> WindowPlan:
-    # ``qkeys`` arrives [B, M, K]; WindowPlan stores the lane-transposed
-    # [B, K, M] layout the conv kernels consume (transposed ONCE here,
-    # amortized over every conv that shares the plan).
+    # ``qmeta`` is the packed [B, 1+nw, M] base-key + validity-mask array
+    # (compute_query_meta); the kernels reconstruct query keys from it and
+    # the static ``dkeys`` — the old [B, M, K] qkeys materialization +
+    # lane transpose (43-200 MB of per-step HBM traffic per level) is gone.
     if window_r is None:
         window_r = window_r_default()
     return WindowPlan(
-        qkeys=qkeys.transpose(0, 2, 1),
+        qmeta=qmeta,
         start=host[f"{prefix}/start"],
         q_active=q_active,
         ov_src=host[f"{prefix}/ov_src"],
@@ -70,41 +73,9 @@ def _plan_from_host(
         ov_valid=host[f"{prefix}/ov_valid"],
         ov_dropped=host[f"{prefix}/ov_dropped"],
         offsets=tuple(map(tuple, offsets.tolist())),
+        dkeys=tuple(dkeys),
         window_r=window_r,
-        q_bound=query_bound(qkeys.shape[1], q_bound_frac),
-    )
-
-
-def _strided_qkeys(
-    skeleton: SparseTensor, parent: SparseTensor, stride, offs: np.ndarray
-) -> jax.Array:
-    """Forward downsample queries: out*stride + delta into the parent grid
-    (mirrors window_engine.build_strided_window_plans)."""
-    return compute_strided_query_keys(
-        skeleton, parent.grid_shape, stride, offs
-    )
-
-
-def _reverse_qkeys(
-    st: SparseTensor, skeleton: SparseTensor, stride, k: int
-) -> jax.Array:
-    """Reverse downsample queries: one live column per input row (its parent
-    cell's key at the row's intra-cell offset)."""
-    stride_arr = jnp.asarray(stride, jnp.int32)
-    parent = st.coords // stride_arr
-    pkey = linearize(parent, skeleton.grid_shape)
-    rem = st.coords - parent * stride_arr
-    off_id = rem[..., 0]
-    for d in range(1, rem.shape[-1]):
-        off_id = off_id * np.int32(int(stride[d])) + rem[..., d]
-    mask = st.row_mask()
-    cols = jnp.arange(k, dtype=jnp.int32)[None, None, :]
-    return jnp.where(
-        (off_id[..., None] == cols)
-        & mask[..., None]
-        & (pkey[..., None] != INVALID_KEY),
-        pkey[..., None],
-        INVALID_QUERY,
+        q_bound=query_bound(qmeta.shape[2], q_bound_frac),
     )
 
 
@@ -190,14 +161,16 @@ def encoder_plans_from_host(
 
     initial = _plan_from_host(
         host, "initial",
-        compute_query_keys(st0, i_offs), st0.n_active, i_offs,
+        compute_query_meta(st0, i_offs),
+        key_deltas(st0.grid_shape, i_offs), st0.n_active, i_offs,
         window_r=window_r_initial,
         q_bound_frac=frac(0),
     )
     series = tuple(
         _plan_from_host(
             host, f"lvl{l}/series",
-            compute_query_keys(levels[l], s_offs_l[l]),
+            compute_query_meta(levels[l], s_offs_l[l]),
+            key_deltas(levels[l].grid_shape, s_offs_l[l]),
             levels[l].n_active, s_offs_l[l],
             window_r=window_r_series[l],
             q_bound_frac=frac(l),
@@ -208,14 +181,20 @@ def encoder_plans_from_host(
         (
             _plan_from_host(
                 host, f"lvl{l}/down_f",
-                _strided_qkeys(levels[l + 1], levels[l], stride, d_offs),
+                compute_strided_query_meta(
+                    levels[l + 1], levels[l].grid_shape, stride, d_offs
+                ),
+                key_deltas(levels[l].grid_shape, d_offs),
                 levels[l + 1].n_active, d_offs,
                 window_r=window_r_down,
                 q_bound_frac=frac(l + 1),
             ),
             _plan_from_host(
                 host, f"lvl{l}/down_r",
-                _reverse_qkeys(levels[l], levels[l + 1], stride, kd),
+                compute_reverse_query_meta(
+                    levels[l], levels[l + 1], stride, kd
+                ),
+                (0,) * kd,
                 levels[l].n_active, d_offs,
                 window_r=window_r_rev,
                 q_bound_frac=frac(l),

@@ -318,6 +318,151 @@ def compute_strided_query_keys(
     return jnp.where(valid, qk, INVALID_QUERY)
 
 
+def _bit_mask(bit: int) -> np.int32:
+    """i32 constant with only ``bit`` set (two's-complement safe at 31)."""
+    return np.int32(-(2**31)) if bit == 31 else np.int32(1 << bit)
+
+
+def key_deltas(grid, offsets) -> Tuple[int, ...]:
+    """Static per-offset key deltas: linearize(c + off) = linearize(c) +
+    delta (the linearization is affine), so kernels reconstruct query keys
+    from the site's own key + these compile-time constants."""
+    g = [int(x) for x in grid]
+    offs = np.asarray(offsets, np.int64)
+    d = offs[:, 0]
+    for dim in range(1, offs.shape[1]):
+        d = d * g[dim] + offs[:, dim]
+    return tuple(int(v) for v in d)
+
+
+def meta_words(k: int) -> int:
+    """Validity-bitmask words in a query-meta array (32 offsets per word)."""
+    return _cdiv(k, 32)
+
+
+def _meta_from_base(base, rm, per_k_valid, k):
+    """Pack [B, M] base keys + per-offset validity into [B, 1+nw, M] i32.
+
+    Row 0 is the base key (INVALID_QUERY where the row is dead); row 1+w
+    holds bit ``kk % 32`` of word ``kk // 32`` set iff query ``kk`` is live.
+    This replaces the materialized [B, M, K] qkeys (43-200 MB per level at
+    dune3d scale, rebuilt every step): the conv kernels recompute
+    qk = base + key_deltas[kk] in registers and mask with the bit."""
+    words = []
+    for wi in range(meta_words(k)):
+        acc = jnp.zeros(rm.shape, jnp.int32)
+        for bit in range(min(32, k - 32 * wi)):
+            v = per_k_valid(wi * 32 + bit)
+            acc = acc | jnp.where(v, _bit_mask(bit), jnp.int32(0))
+        words.append(acc)
+    base = jnp.where(rm, base, INVALID_QUERY)
+    return jnp.stack([base] + words, axis=1)
+
+
+def _dim_range_masks(coords, offs, g, scale=None):
+    """dim_ok[d][off_value] -> bool [B, M] (None = always true): shared
+    range compares for the handful of distinct offset values per dim."""
+    dim_ok = []
+    for d in range(offs.shape[1]):
+        s = 1 if scale is None else int(scale[d])
+        dd = {}
+        for v in sorted({int(x) for x in offs[:, d]}):
+            if s == 1 and v == 0:
+                dd[v] = None  # the site's own coordinate is in range
+            else:
+                cd = coords[..., d] * np.int32(s) + np.int32(v)
+                dd[v] = (cd >= 0) & (cd < g[d])
+        dim_ok.append(dd)
+    return dim_ok
+
+
+def compute_query_meta(st: SparseTensor, offsets: np.ndarray) -> jax.Array:
+    """[B, 1+nw, M] query meta for a submanifold plan (see _meta_from_base).
+    Pair with key_deltas(st.grid_shape, offsets)."""
+    offs = np.asarray(offsets, np.int64)
+    g = [int(x) for x in st.grid_shape]
+    rm = st.row_mask()
+    dim_ok = _dim_range_masks(st.coords, offs, g)
+
+    def valid(kk):
+        v = rm
+        for d in range(offs.shape[1]):
+            m = dim_ok[d][int(offs[kk, d])]
+            if m is not None:
+                v = v & m
+        return v
+
+    return _meta_from_base(st.keys(), rm, valid, len(offs))
+
+
+def compute_strided_query_meta(
+    skeleton: SparseTensor,
+    parent_grid: Tuple[int, ...],
+    stride,
+    offsets: np.ndarray,
+) -> jax.Array:
+    """[B, 1+nw, M] meta for forward downsample queries: base =
+    linearize(c*stride) in the PARENT grid.  Pair with
+    key_deltas(parent_grid, offsets)."""
+    offs = np.asarray(offsets, np.int64)
+    g = [int(x) for x in parent_grid]
+    s = [int(x) for x in stride]
+    c = skeleton.coords
+    base = c[..., 0] * np.int32(s[0])
+    for d in range(1, offs.shape[1]):
+        base = base * np.int32(g[d]) + c[..., d] * np.int32(s[d])
+    rm = skeleton.row_mask()
+    dim_ok = _dim_range_masks(c, offs, g, scale=s)
+
+    def valid(kk):
+        v = rm
+        for d in range(offs.shape[1]):
+            m = dim_ok[d][int(offs[kk, d])]
+            if m is not None:
+                v = v & m
+        return v
+
+    return _meta_from_base(base, rm, valid, len(offs))
+
+
+def compute_reverse_query_meta(
+    st: SparseTensor, skeleton: SparseTensor, stride, k: int
+) -> jax.Array:
+    """[B, 2, M] meta for reverse downsample queries: one live offset column
+    per input row (its parent's key at the row's intra-cell offset).
+    Pair with dkeys = (0,) * k."""
+    assert k <= 32, f"reverse meta packs offsets into one word (k={k})"
+    stride_arr = jnp.asarray(stride, jnp.int32)
+    parent = st.coords // stride_arr
+    pkey = linearize(parent, skeleton.grid_shape)
+    rem = st.coords - parent * stride_arr
+    off_id = rem[..., 0]
+    for d in range(1, rem.shape[-1]):
+        off_id = off_id * np.int32(int(stride[d])) + rem[..., d]
+    rm = st.row_mask() & (pkey != INVALID_KEY)
+    word = jnp.where(
+        rm, jnp.left_shift(jnp.int32(1), off_id), jnp.int32(0)
+    )
+    base = jnp.where(rm, pkey, INVALID_QUERY)
+    return jnp.stack([base, word], axis=1)
+
+
+def materialize_qkeys(qmeta: jax.Array, dkeys) -> jax.Array:
+    """[B, K, M] lane-transposed query keys reconstructed from packed meta
+    — the pre-round-5 representation.  For probe scripts and debugging
+    only: the production kernels never materialize this (that was the
+    point of the qmeta refactor)."""
+    base = qmeta[:, 0, :]
+    k = len(dkeys)
+    cols = []
+    for kk in range(k):
+        word = qmeta[:, 1 + kk // 32, :]
+        live = (word & _bit_mask(kk % 32)) != 0
+        cols.append(jnp.where(live, base + np.int32(dkeys[kk]),
+                              INVALID_QUERY))
+    return jnp.stack(cols, axis=1)
+
+
 def _pad_rows(x: jax.Array, n_to: int, fill) -> jax.Array:
     n = x.shape[1]
     if n == n_to:
@@ -527,11 +672,34 @@ def window_plan(
 # Conv kernel: windowed equality one-hot x table x weights
 # --------------------------------------------------------------------------
 
+def _q_rows(qm_ref, sl, k, dkeys, kmap):
+    """Query keys per offset, recomputed in registers from the packed meta
+    block (row 0 base key, rows 1+ validity words): qk = base + dkeys[kk]
+    where the offset's bit is set, INVALID_QUERY otherwise.  ``kmap``
+    remaps kernel slot -> meta offset (the mirrored backward's perm) at
+    zero runtime cost.  Replaces the [B, K, M] qkeys HBM reads (43-200 MB
+    per launch at dune3d scale) with ~3 VPU ops per [T] row."""
+    base = qm_ref[0, 0, sl]
+    words = [qm_ref[0, 1 + wi, sl] for wi in range(meta_words(k))]
+
+    def row(kk):
+        b = kk if kmap is None else kmap[kk]
+        live = (words[b // 32] & _bit_mask(b % 32)) != 0
+        return jnp.where(live, base + np.int32(dkeys[b]), INVALID_QUERY)
+
+    return row
+
+
+def _k_col(kk: int, kmap) -> int:
+    """Start-table column for kernel slot kk (kmap remaps, statically)."""
+    return kk if kmap is None else kmap[kk]
+
+
 def _conv_kernel(
     live_ref,  # SMEM i32[B, 1]
     keys_ref,  # [1, Npad, 1] VMEM (sublane-major)
     table_ref,  # [1, Npad, C] VMEM
-    qk_ref,  # [1, K, P*T] VMEM (lane-transposed queries)
+    qk_ref,  # [1, 1+nw, P*T] VMEM (packed query meta: base + mask words)
     start_ref,  # [1, n_tiles, K] SMEM (full)
     w_ref,  # wfuse: [K, C, CO]; else [KC_pad or Gn*GL, CO] VMEM
     out_ref,  # [1, P*T, CO] VMEM
@@ -542,6 +710,8 @@ def _conv_kernel(
     kc_pad: int,
     window_r: int,
     p: int,
+    dkeys: Tuple[int, ...],
+    kmap: Tuple[int, ...] | None = None,
     ct: bool = False,
     wfuse: bool = False,
 ):
@@ -611,7 +781,9 @@ def _conv_kernel(
 
         @pl.when(tile < live_ref[pl.program_id(0), 0])
         def _live(pp=pp, tile=tile):
-            qt = qk_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]  # [K, T]
+            qrow = _q_rows(
+                qk_ref, slice(pp * TILE_T, (pp + 1) * TILE_T), k, dkeys, kmap
+            )
             if g_off == 1:
                 if ct and c == 1:
                     # C=1 (the 5^d initial conv): one-hot x scalar table ==
@@ -620,13 +792,13 @@ def _conv_kernel(
                     # [K,R,1] dot (1/128 MXU lane use) and no oh/s staging.
                     for kk in range(k):
                         start = pl.multiple_of(
-                            start_ref[0, tile, kk], START_ALIGN
+                            start_ref[0, tile, _k_col(kk, kmap)], START_ALIGN
                         )
                         win = keys_ref[0, pl.ds(start, window_r), 0]
                         xw = table_ref[0, pl.ds(start, window_r), 0].astype(
                             jnp.float32
                         )
-                        oh = win[:, None] == qt[kk][None, :]  # [R, T]
+                        oh = win[:, None] == qrow(kk)[None, :]  # [R, T]
                         g_scratch[kk, :] = jnp.sum(
                             jnp.where(oh, xw[:, None], 0.0), axis=0
                         )
@@ -640,11 +812,11 @@ def _conv_kernel(
                     return
                 for kk in range(k):
                     start = pl.multiple_of(
-                        start_ref[0, tile, kk], START_ALIGN
+                        start_ref[0, tile, _k_col(kk, kmap)], START_ALIGN
                     )
                     win = keys_ref[0, pl.ds(start, window_r), 0]
                     oh_scratch[kk] = (
-                        win[:, None] == qt[kk][None, :]
+                        win[:, None] == qrow(kk)[None, :]
                     ).astype(oh_scratch.dtype)  # [R, T]
                     s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
                 if ct and wfuse:
@@ -708,10 +880,12 @@ def _conv_kernel(
                 return
             for kk in range(k):
                 g, j = divmod(kk, g_off)
-                start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
+                start = pl.multiple_of(
+                    start_ref[0, tile, _k_col(kk, kmap)], START_ALIGN
+                )
                 win = keys_ref[0, pl.ds(start, window_r), 0]  # [R] sublane
                 oh_scratch[g, j * window_r:(j + 1) * window_r, :] = (
-                    win[:, None] == qt[kk][None, :]
+                    win[:, None] == qrow(kk)[None, :]
                 ).astype(oh_scratch.dtype)
                 s_scratch[
                     g, j * window_r:(j + 1) * window_r, j * c:(j + 1) * c
@@ -735,7 +909,8 @@ def _conv_kernel(
 
 def _gather_kernel(
     live_ref, keys_ref, table_ref, qk_ref, start_ref, g_ref,
-    oh_scratch, s_scratch, *, k: int, c: int, window_r: int
+    oh_scratch, s_scratch, *, k: int, c: int, window_r: int,
+    dkeys: Tuple[int, ...], kmap: Tuple[int, ...] | None = None,
 ):
     """Variant emitting the gathered matrix g [T, K*C] (for dW)."""
     tile = pl.program_id(1)
@@ -746,12 +921,14 @@ def _gather_kernel(
 
     @pl.when(tile < live_ref[pl.program_id(0), 0])
     def _live():
-        qt = qk_ref[0]  # [K, T] (lane-transposed queries)
+        qrow = _q_rows(qk_ref, slice(0, TILE_T), k, dkeys, kmap)
         for kk in range(k):
-            start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
+            start = pl.multiple_of(
+                start_ref[0, tile, _k_col(kk, kmap)], START_ALIGN
+            )
             win = keys_ref[0, pl.ds(start, window_r), 0]
             oh_scratch[kk] = (
-                win[:, None] == qt[kk][None, :]
+                win[:, None] == qrow(kk)[None, :]
             ).astype(oh_scratch.dtype)
             s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
         gkt = jax.lax.dot_general(
@@ -795,29 +972,30 @@ def _pad_lanes(x: jax.Array, n_to: int, fill) -> jax.Array:
 def window_conv_apply(
     keys: jax.Array,  # [B, N_in] sorted keys of the table site set
     feats: jax.Array,  # [B, N_in, C] table features
-    qkeys: jax.Array,  # [B, K, M] query keys (lane-transposed)
+    qmeta: jax.Array,  # [B, 1+nw, M] packed query meta (base + mask words)
     start: jax.Array,  # [B, n_tiles, K] from window_plan
     w: jax.Array,  # [K, C, CO]
     q_active: jax.Array,  # i32[B] live rows on the query side
+    dkeys: Tuple[int, ...],  # static per-offset key deltas (key_deltas)
+    kmap: Tuple[int, ...] | None = None,  # static slot -> offset remap
     interpret: bool = False,
     window_r: int | None = None,
     q_bound: int | None = None,
 ) -> jax.Array:
-    """-> [B, M, CO] in-window contributions (overflow pairs excluded).
-
-    ``qkeys`` is lane-transposed: [B, K, M]."""
+    """-> [B, M, CO] in-window contributions (overflow pairs excluded)."""
     if window_r is None:  # resolve LIVE tuning, never the
         window_r = window_r_default()  # import-time snapshot
-    b, k, m = qkeys.shape
+    b, _, m = qmeta.shape
+    k = len(dkeys)
     c = feats.shape[-1]
     co = w.shape[-1]
     p = _tiles_per_step(k)
-    qkeys, start, mb = _bounded_queries(qkeys, start, q_bound, p)
+    qmeta, start, mb = _bounded_queries(qmeta, start, q_bound, p)
     pk, pt = _conv_table(keys, feats, window_r)
     npad = pk.shape[1]
     n_steps = _cdiv(mb, TILE_T * p)
     n_tiles = n_steps * p
-    qk_p = _pad_lanes(qkeys, n_tiles * TILE_T, INVALID_QUERY)
+    qk_p = _pad_lanes(qmeta, n_tiles * TILE_T, 0)
     if start.shape[1] < n_tiles:
         start = jnp.pad(start, ((0, 0), (0, n_tiles - start.shape[1]),
                                 (0, 0)))
@@ -848,6 +1026,7 @@ def window_conv_apply(
     live2 = _live_tiles(q_active, mb)[:, None]
     kern = functools.partial(
         _conv_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p,
+        dkeys=tuple(dkeys), kmap=None if kmap is None else tuple(kmap),
         ct=ct, wfuse=wfuse,
     )
     if g_off == 1:
@@ -887,8 +1066,8 @@ def window_conv_apply(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, TILE_T * p), lambda bb, i: (bb, 0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qk_p.shape[1], TILE_T * p),
+                         lambda bb, i: (bb, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
             w_spec,
@@ -913,7 +1092,7 @@ def _dw_kernel(
     live_ref,  # SMEM i32[B, 1]
     keys_ref,  # [1, Npad, 1] VMEM
     table_ref,  # [1, Npad, C] VMEM
-    qk_ref,  # [1, P*T, K] VMEM
+    qk_ref,  # [1, 1+nw, P*T] VMEM (packed query meta)
     start_ref,  # [1, n_tiles, K] SMEM
     gy_ref,  # [1, P*T, CO] VMEM (output cotangent tiles)
     dw_ref,  # [KC_pad or Gn*GL, CO] f32 VMEM (accumulated over the grid)
@@ -924,6 +1103,8 @@ def _dw_kernel(
     kc_pad: int,
     window_r: int,
     p: int,
+    dkeys: Tuple[int, ...],
+    kmap: Tuple[int, ...] | None = None,
     ct: bool = False,
 ):
     """dW += g_tile^T @ gy_tile, fused with the window gather — no [B, M,
@@ -963,19 +1144,21 @@ def _dw_kernel(
 
         @pl.when(tile < live_ref[pl.program_id(0), 0])
         def _live(pp=pp, tile=tile):
-            qt = qk_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]  # [K, T]
+            qrow = _q_rows(
+                qk_ref, slice(pp * TILE_T, (pp + 1) * TILE_T), k, dkeys, kmap
+            )
             if g_off == 1:
                 if ct and c == 1:
                     # C=1 select-gather (see _conv_kernel)
                     for kk in range(k):
                         start = pl.multiple_of(
-                            start_ref[0, tile, kk], START_ALIGN
+                            start_ref[0, tile, _k_col(kk, kmap)], START_ALIGN
                         )
                         win = keys_ref[0, pl.ds(start, window_r), 0]
                         xw = table_ref[0, pl.ds(start, window_r), 0].astype(
                             jnp.float32
                         )
-                        oh = win[:, None] == qt[kk][None, :]
+                        oh = win[:, None] == qrow(kk)[None, :]
                         g_scratch[kk, :] = jnp.sum(
                             jnp.where(oh, xw[:, None], 0.0), axis=0
                         )
@@ -988,11 +1171,11 @@ def _dw_kernel(
                     return
                 for kk in range(k):
                     start = pl.multiple_of(
-                        start_ref[0, tile, kk], START_ALIGN
+                        start_ref[0, tile, _k_col(kk, kmap)], START_ALIGN
                     )
                     win = keys_ref[0, pl.ds(start, window_r), 0]
                     oh_scratch[kk] = (
-                        win[:, None] == qt[kk][None, :]
+                        win[:, None] == qrow(kk)[None, :]
                     ).astype(oh_scratch.dtype)
                     s_scratch[kk] = table_ref[0, pl.ds(start, window_r), :]
                 if ct:
@@ -1031,10 +1214,12 @@ def _dw_kernel(
             gy_t = gy_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :]
             for kk in range(k):
                 g, j = divmod(kk, g_off)
-                start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
+                start = pl.multiple_of(
+                    start_ref[0, tile, _k_col(kk, kmap)], START_ALIGN
+                )
                 win = keys_ref[0, pl.ds(start, window_r), 0]
                 oh_scratch[g, j * window_r:(j + 1) * window_r, :] = (
-                    win[:, None] == qt[kk][None, :]
+                    win[:, None] == qrow(kk)[None, :]
                 ).astype(oh_scratch.dtype)
                 s_scratch[
                     g, j * window_r:(j + 1) * window_r, j * c:(j + 1) * c
@@ -1057,29 +1242,32 @@ def _dw_kernel(
 def window_dw(
     keys: jax.Array,  # [B, N_in] table keys
     feats: jax.Array,  # [B, N_in, C] table features
-    qkeys: jax.Array,  # [B, K, M] (lane-transposed)
+    qmeta: jax.Array,  # [B, 1+nw, M] packed query meta
     start: jax.Array,  # [B, n_tiles, K]
     gy: jax.Array,  # [B, M, CO] output cotangent
     q_active: jax.Array,
+    dkeys: Tuple[int, ...],
+    kmap: Tuple[int, ...] | None = None,
     interpret: bool = False,
     window_r: int | None = None,
     q_bound: int | None = None,
 ) -> jax.Array:
     """-> dW f32[K, C, CO] = sum over pairs of x[src] (x) gy[dst] for the
-    in-window pairs of the plan.  ``qkeys`` is lane-transposed [B, K, M]."""
+    in-window pairs of the plan."""
     if window_r is None:  # resolve LIVE tuning, never the
         window_r = window_r_default()  # import-time snapshot
-    b, k, m = qkeys.shape
+    b, _, m = qmeta.shape
+    k = len(dkeys)
     c = feats.shape[-1]
     co = gy.shape[-1]
     p = _tiles_per_step(k)
-    qkeys, start, mb = _bounded_queries(qkeys, start, q_bound, p)
+    qmeta, start, mb = _bounded_queries(qmeta, start, q_bound, p)
     gy = gy[:, :mb]
     pk, pt = _conv_table(keys, feats, window_r)
     npad = pk.shape[1]
     n_steps = _cdiv(mb, TILE_T * p)
     n_tiles = n_steps * p
-    qk_p = _pad_lanes(qkeys, n_tiles * TILE_T, INVALID_QUERY)
+    qk_p = _pad_lanes(qmeta, n_tiles * TILE_T, 0)
     gy_p = _pad_rows(gy, n_tiles * TILE_T, 0)
     if start.shape[1] < n_tiles:
         start = jnp.pad(start, ((0, 0), (0, n_tiles - start.shape[1]),
@@ -1091,7 +1279,9 @@ def window_dw(
     kc_pad = _round_up(k * c, 128) if g_off == 1 else n_groups * glanes
     live2 = _live_tiles(q_active, mb)[:, None]
     kern = functools.partial(
-        _dw_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p, ct=ct
+        _dw_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p,
+        dkeys=tuple(dkeys), kmap=None if kmap is None else tuple(kmap),
+        ct=ct,
     )
     if g_off == 1:
         if ct and c == 1:
@@ -1131,8 +1321,8 @@ def window_dw(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, TILE_T * p), lambda bb, i: (bb, 0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qk_p.shape[1], TILE_T * p),
+                         lambda bb, i: (bb, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
             gy_spec,
@@ -1154,11 +1344,12 @@ def window_bwd_subm(
     keys: jax.Array,  # [B, N] sorted site keys (shared by x and gy)
     feats: jax.Array,  # [B, N, C] forward input
     gy: jax.Array,  # [B, N, CO] output cotangent
-    qkeys: jax.Array,  # [B, K, M] forward plan queries (lane-transposed)
+    qmeta: jax.Array,  # [B, 1+nw, M] forward plan query meta
     start: jax.Array,  # [B, n_tiles, K] forward plan starts
     w: jax.Array,  # [K, C, CO]
     q_active: jax.Array,
     perm: np.ndarray,  # mirror permutation of the offsets (static)
+    dkeys: Tuple[int, ...] = (),
     interpret: bool = False,
     window_r: int | None = None,
     q_bound: int | None = None,
@@ -1186,8 +1377,9 @@ def window_bwd_subm(
     if window_r is None:  # resolve LIVE tuning, never the
         window_r = window_r_default()  # import-time snapshot
     return window_bwd_strided(
-        keys, gy, feats, qkeys, start, jnp.asarray(w)[np.asarray(perm)],
-        q_active, interpret=interpret, window_r=window_r, q_bound=q_bound,
+        keys, gy, feats, qmeta, start, jnp.asarray(w)[np.asarray(perm)],
+        q_active, dkeys=dkeys, interpret=interpret, window_r=window_r,
+        q_bound=q_bound,
     )
 
 
@@ -1195,7 +1387,7 @@ def _bwd_strided_kernel(
     live_ref,  # SMEM i32[B, 1]
     keys_ref,  # [1, Npad, 1] VMEM (OUTPUT site keys)
     gyt_ref,  # [1, Npad, CO] VMEM (gy table over output sites)
-    qk_ref,  # [1, P*T, K] VMEM (reverse plan queries, one row per INPUT site)
+    qk_ref,  # [1, 1+nw, P*T] VMEM (reverse plan query meta per INPUT site)
     start_ref,  # [1, n_tiles, K] SMEM
     wdx_ref,  # [C, K*CO] VMEM
     xct_ref,  # [1, C, P*T] VMEM (x tiles, lane-transposed)
@@ -1209,6 +1401,8 @@ def _bwd_strided_kernel(
     co: int,
     window_r: int,
     p: int,
+    dkeys: Tuple[int, ...],
+    kmap: Tuple[int, ...] | None = None,
 ):
     """Fused strided backward: dX AND dW from ONE gather of gy.
 
@@ -1241,12 +1435,16 @@ def _bwd_strided_kernel(
 
         @pl.when(tile < live_ref[pl.program_id(0), 0])
         def _live(pp=pp, tile=tile):
-            qt = qk_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]  # [K, T]
+            qrow = _q_rows(
+                qk_ref, slice(pp * TILE_T, (pp + 1) * TILE_T), k, dkeys, kmap
+            )
             for kk in range(k):
-                start = pl.multiple_of(start_ref[0, tile, kk], START_ALIGN)
+                start = pl.multiple_of(
+                    start_ref[0, tile, _k_col(kk, kmap)], START_ALIGN
+                )
                 win = keys_ref[0, pl.ds(start, window_r), 0]
                 oh_s[kk] = (
-                    win[:, None] == qt[kk][None, :]
+                    win[:, None] == qrow(kk)[None, :]
                 ).astype(oh_s.dtype)
                 sgy_s[kk] = gyt_ref[0, pl.ds(start, window_r), :]
             ggy = jax.lax.dot_general(  # [K, CO, T]
@@ -1273,20 +1471,21 @@ def window_bwd_strided(
     keys_out: jax.Array,  # [B, N_out] output-site keys
     gy: jax.Array,  # [B, N_out, CO] output cotangent
     feats: jax.Array,  # [B, N_in, C] forward input
-    rq: jax.Array,  # [B, K, N_in] reverse plan queries (lane-transposed)
+    rq: jax.Array,  # [B, 1+nw, N_in] reverse plan query meta
     rs: jax.Array,  # [B, n_tiles, K] reverse plan starts
     w: jax.Array,  # [K, C, CO]
     r_active: jax.Array,
+    dkeys: Tuple[int, ...] = (),
+    kmap: Tuple[int, ...] | None = None,
     interpret: bool = False,
     window_r: int | None = None,  # None -> window_r_strided()
     q_bound: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """-> (dx [B, N_in, C], dw f32 [K, C, CO]) for the rev-plan pair set.
-
-    ``rq`` is lane-transposed [B, K, N_in]."""
+    """-> (dx [B, N_in, C], dw f32 [K, C, CO]) for the rev-plan pair set."""
     if window_r is None:  # resolve LIVE tuning, never the
         window_r = window_r_strided()  # import-time snapshot
-    b, k, m = rq.shape
+    b, _, m = rq.shape
+    k = len(dkeys)
     c = feats.shape[-1]
     co = gy.shape[-1]
     p = _tiles_per_step(k)
@@ -1295,7 +1494,7 @@ def window_bwd_strided(
     npad = pk.shape[1]
     n_steps = _cdiv(mb, TILE_T * p)
     n_tiles = n_steps * p
-    qk_p = _pad_lanes(rq_b, n_tiles * TILE_T, INVALID_QUERY)
+    qk_p = _pad_lanes(rq_b, n_tiles * TILE_T, 0)
     x_ct = _pad_rows(feats[:, :mb], n_tiles * TILE_T, 0).transpose(0, 2, 1)
     if rs_b.shape[1] < n_tiles:
         rs_b = jnp.pad(rs_b, ((0, 0), (0, n_tiles - rs_b.shape[1]), (0, 0)))
@@ -1307,6 +1506,7 @@ def window_bwd_strided(
     live2 = _live_tiles(r_active, mb)[:, None]
     kern = functools.partial(
         _bwd_strided_kernel, k=k, c=c, co=co, window_r=window_r, p=p,
+        dkeys=tuple(dkeys), kmap=None if kmap is None else tuple(kmap),
     )
     dx, dw = pl.pallas_call(
         kern,
@@ -1318,8 +1518,8 @@ def window_bwd_strided(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, co), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, TILE_T * p), lambda bb, i: (bb, 0, i),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qk_p.shape[1], TILE_T * p),
+                         lambda bb, i: (bb, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rs_b.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((c, kco), lambda bb, i: (0, 0),
@@ -1356,25 +1556,29 @@ def window_bwd_strided(
 def window_gather(
     keys: jax.Array,
     feats: jax.Array,
-    qkeys: jax.Array,
+    qmeta: jax.Array,
     start: jax.Array,
     q_active: jax.Array,
+    dkeys: Tuple[int, ...] = (),
+    kmap: Tuple[int, ...] | None = None,
     interpret: bool = False,
     window_r: int | None = None,
 ) -> jax.Array:
-    """-> g [B, M, K*C]: the gathered neighbor matrix (for dW).
-
-    ``qkeys`` is lane-transposed [B, K, M]."""
+    """-> g [B, M, K*C]: the gathered neighbor matrix (for dW)."""
     if window_r is None:  # resolve LIVE tuning, never the
         window_r = window_r_default()  # import-time snapshot
-    b, k, m = qkeys.shape
+    b, _, m = qmeta.shape
+    k = len(dkeys)
     c = feats.shape[-1]
     pk, pt = _conv_table(keys, feats, window_r)
     npad = pk.shape[1]
     n_tiles = _cdiv(m, TILE_T)
-    qk_p = _pad_lanes(qkeys, n_tiles * TILE_T, INVALID_QUERY)
+    qk_p = _pad_lanes(qmeta, n_tiles * TILE_T, 0)
     live2 = _live_tiles(q_active, m)[:, None]
-    kern = functools.partial(_gather_kernel, k=k, c=c, window_r=window_r)
+    kern = functools.partial(
+        _gather_kernel, k=k, c=c, window_r=window_r, dkeys=tuple(dkeys),
+        kmap=None if kmap is None else tuple(kmap),
+    )
     g = pl.pallas_call(
         kern,
         grid=(b, n_tiles),
@@ -1385,7 +1589,7 @@ def window_gather(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npad, c), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, TILE_T), lambda bb, i: (bb, 0, i),
+            pl.BlockSpec((1, qk_p.shape[1], TILE_T), lambda bb, i: (bb, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, start.shape[1], k), lambda bb, i: (bb, 0, 0),
                          memory_space=pltpu.SMEM),

@@ -35,7 +35,11 @@ from .window_conv import (
     window_r_default,
     window_r_strided,
     compute_query_keys,
+    compute_query_meta,
+    compute_reverse_query_meta,
     compute_strided_query_keys,
+    compute_strided_query_meta,
+    key_deltas,
     overflow_apply,
     overflow_dw,
     window_bwd_strided,
@@ -52,10 +56,11 @@ from .window_conv import (
 class WindowPlan:
     """Per-site-set plan for the windowed conv engine."""
 
-    qkeys: jax.Array  # i32[B, K, M] lane-transposed query keys
-    #                   (INVALID_QUERY when dead); queries sit in LANES so
-    #                   the conv kernels read [K, T] tiles without a per-tile
-    #                   lane<->sublane transpose
+    qmeta: jax.Array  # i32[B, 1+nw, M] packed query meta: row 0 = base key,
+    #                   rows 1+ = per-offset validity bitmask words; kernels
+    #                   recompute qk = base + dkeys[k] in registers (the old
+    #                   [B, K, M] qkeys array cost 43-200 MB of HBM traffic
+    #                   per launch at dune3d scale).  Queries sit in LANES.
     start: jax.Array  # i32[B, n_tiles, K] window starts
     q_active: jax.Array  # i32[B] live rows on the query side (tile skipping)
     ov_src: jax.Array  # i32[B, S] table row of overflow pair
@@ -66,6 +71,9 @@ class WindowPlan:
     offsets: Tuple[Tuple[int, ...], ...] = dataclasses.field(
         metadata=dict(static=True)
     )
+    # static per-offset key deltas (window_conv.key_deltas of the TABLE
+    # grid); all zeros for reverse plans, whose base IS the queried key
+    dkeys: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     # conv window rows: strided FORWARD plans need ~2x (the parent table is
     # ~stride^d / 2 denser than the child query set, so per-tile match spans
     # approach 2*TILE_T).  REQUIRED (no default): an import-time snapshot
@@ -81,7 +89,7 @@ class WindowPlan:
 
     @property
     def num_offsets(self) -> int:
-        return self.qkeys.shape[1]
+        return len(self.offsets)
 
 
 def _compact_overflow(
@@ -141,8 +149,9 @@ def build_submanifold_window_plan(
         keys, qkeys, uncov, overflow_cap
     )
     return WindowPlan(
-        qkeys.transpose(0, 2, 1), start, st.n_active, src, dst, kk, valid,
-        dropped, offsets=tuple(map(tuple, offs.tolist())), window_r=window_r,
+        compute_query_meta(st, offs), start, st.n_active, src, dst, kk,
+        valid, dropped, offsets=tuple(map(tuple, offs.tolist())),
+        dkeys=key_deltas(st.grid_shape, offs), window_r=window_r,
         q_bound=q_bound,
     )
 
@@ -187,9 +196,11 @@ def build_strided_window_plans(
         keys_in, qkeys_f, uncov_f, overflow_cap
     )
     fwd = WindowPlan(
-        qkeys_f.transpose(0, 2, 1), start_f, skeleton.n_active,
+        compute_strided_query_meta(skeleton, st.grid_shape, stride, offs),
+        start_f, skeleton.n_active,
         src, dst, kk, val, drop,
         offsets=tuple(map(tuple, offs.tolist())),
+        dkeys=key_deltas(st.grid_shape, offs),
         window_r=r_fwd, q_bound=q_bound,
     )
 
@@ -219,9 +230,11 @@ def build_strided_window_plans(
         keys_out, qkeys_r, uncov_r, overflow_cap
     )
     rev = WindowPlan(
-        qkeys_r.transpose(0, 2, 1), start_r, st.n_active,
+        compute_reverse_query_meta(st, skeleton, stride, k), start_r,
+        st.n_active,
         src_r, dst_r, kk_r, val_r, drop_r,
-        offsets=tuple(map(tuple, offs.tolist())), window_r=r_rev,
+        offsets=tuple(map(tuple, offs.tolist())), dkeys=(0,) * k,
+        window_r=r_rev,
         q_bound=rev_q_bound,
     )
     return fwd, rev
@@ -335,12 +348,13 @@ def _mirror_perm(offsets) -> np.ndarray:
     return np.array([lookup[tuple(-np.asarray(o))] for o in offs.tolist()])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5, 6))
 def _subm_window_conv(offsets, feats, w, interpret, window_r, q_bound,
-                      keys, qkeys, start,
+                      dkeys,
+                      keys, qmeta, start,
                       q_active, ov_src, ov_dst, ov_k, ov_valid):
     out = window_conv_apply(
-        keys, feats, qkeys, start, w, q_active, interpret=interpret,
+        keys, feats, qmeta, start, w, q_active, dkeys, interpret=interpret,
         window_r=window_r, q_bound=q_bound,
     )
     return _apply_overflow_any(
@@ -348,14 +362,15 @@ def _subm_window_conv(offsets, feats, w, interpret, window_r, q_bound,
     )
 
 
-def _subm_fwd(offsets, feats, w, interpret, window_r, q_bound,
-              keys, qkeys, start,
+def _subm_fwd(offsets, feats, w, interpret, window_r, q_bound, dkeys,
+              keys, qmeta, start,
               q_active, ov_src, ov_dst, ov_k, ov_valid):
     out = _subm_window_conv(
-        offsets, feats, w, interpret, window_r, q_bound, keys, qkeys, start,
+        offsets, feats, w, interpret, window_r, q_bound, dkeys,
+        keys, qmeta, start,
         q_active, ov_src, ov_dst, ov_k, ov_valid,
     )
-    return out, (feats, w, keys, qkeys, start, q_active,
+    return out, (feats, w, keys, qmeta, start, q_active,
                  ov_src, ov_dst, ov_k, ov_valid)
 
 
@@ -381,8 +396,8 @@ def _fused_bwd_ok(k: int, c: int, co: int) -> bool:
     )
 
 
-def _subm_bwd(offsets, interpret, window_r, q_bound, res, gy):
-    (feats, w, keys, qkeys, start, q_active,
+def _subm_bwd(offsets, interpret, window_r, q_bound, dkeys, res, gy):
+    (feats, w, keys, qmeta, start, q_active,
      ov_src, ov_dst, ov_k, ov_valid) = res
     k, c, co = w.shape
     perm_np = _mirror_perm(offsets)
@@ -399,7 +414,8 @@ def _subm_bwd(offsets, interpret, window_r, q_bound, res, gy):
         # x[dst] (x) gy[src] to dW[perm[kk]] — hence the swapped src/dst in
         # the dW sidecar and the final [perm] reorder of the mirrored dW.
         dx, dw_m = window_bwd_subm(
-            keys, feats, gy, qkeys, start, w, q_active, perm_np,
+            keys, feats, gy, qmeta, start, w, q_active, perm_np,
+            dkeys=dkeys,
             interpret=interpret, window_r=window_r, q_bound=q_bound,
         )
         w_t = jnp.transpose(w, (0, 2, 1))
@@ -423,7 +439,8 @@ def _subm_bwd(offsets, interpret, window_r, q_bound, res, gy):
     # equality check, scripts/check_window_tpu.py.)
     w_t = jnp.transpose(w, (0, 2, 1))
     dx = window_conv_apply(
-        keys, gy, qkeys[:, perm, :], start[:, :, perm], w_t, q_active,
+        keys, gy, qmeta, start, w_t, q_active, dkeys,
+        kmap=tuple(int(x) for x in perm_np),
         interpret=interpret, window_r=window_r, q_bound=q_bound,
     )
     dx = _apply_overflow_any(
@@ -434,13 +451,13 @@ def _subm_bwd(offsets, interpret, window_r, q_bound, res, gy):
     # Compiled path: fused gather+contract kernel (no [B, M, K*C] HBM
     # round-trip); interpret keeps the two-step formulation.
     if interpret:
-        g = window_gather(keys, feats, qkeys, start, q_active,
+        g = window_gather(keys, feats, qmeta, start, q_active, dkeys,
                           interpret=interpret, window_r=window_r)
         dw = jnp.einsum(
             "bnm,bno->mo", g.astype(jnp.float32), gy.astype(jnp.float32)
         ).reshape(k, c, co)
     else:
-        dw = window_dw(keys, feats, qkeys, start, gy, q_active,
+        dw = window_dw(keys, feats, qmeta, start, gy, q_active, dkeys,
                        window_r=window_r, q_bound=q_bound)
     dw = dw + _overflow_dw_any(
         feats, gy, ov_src, ov_dst, ov_k, ov_valid, k, interpret
@@ -461,8 +478,8 @@ def window_submanifold_conv(
     """Drop-in for ops.submanifold_conv on the windowed engine."""
     out = _subm_window_conv(
         plan.offsets, st.feats, w.astype(st.feats.dtype), interpret,
-        plan.window_r, plan.q_bound,
-        st.keys(), plan.qkeys, plan.start, plan.q_active,
+        plan.window_r, plan.q_bound, plan.dkeys,
+        st.keys(), plan.qmeta, plan.start, plan.q_active,
         plan.ov_src, plan.ov_dst, plan.ov_k, plan.ov_valid,
     )
     if bias is not None:
@@ -475,14 +492,15 @@ def window_submanifold_conv(
 # strided conv with custom VJP (forward plan + reverse plan)
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
 def _strided_window_conv(offsets, feats, w, interpret, f_r, r_r, f_b, r_b,
+                         f_dk, r_dk,
                          keys_in, keys_out,
                          fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
                          rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val):
     out = window_conv_apply(
-        keys_in, feats, fq, fs, w, f_act, interpret=interpret, window_r=f_r,
-        q_bound=f_b,
+        keys_in, feats, fq, fs, w, f_act, f_dk, interpret=interpret,
+        window_r=f_r, q_bound=f_b,
     )
     return _apply_overflow_any(
         out, feats, w, fo_src, fo_dst, fo_k, fo_val, interpret
@@ -490,11 +508,13 @@ def _strided_window_conv(offsets, feats, w, interpret, f_r, r_r, f_b, r_b,
 
 
 def _strided_fwd(offsets, feats, w, interpret, f_r, r_r, f_b, r_b,
+                 f_dk, r_dk,
                  keys_in, keys_out,
                  fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
                  rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val):
     out = _strided_window_conv(
-        offsets, feats, w, interpret, f_r, r_r, f_b, r_b, keys_in, keys_out,
+        offsets, feats, w, interpret, f_r, r_r, f_b, r_b, f_dk, r_dk,
+        keys_in, keys_out,
         fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
         rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val,
     )
@@ -503,7 +523,8 @@ def _strided_fwd(offsets, feats, w, interpret, f_r, r_r, f_b, r_b,
                  rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val)
 
 
-def _strided_bwd(offsets, interpret, f_r, r_r, f_b, r_b, res, gy):
+def _strided_bwd(offsets, interpret, f_r, r_r, f_b, r_b, f_dk, r_dk,
+                 res, gy):
     (feats, w, keys_in, keys_out, fq, fs, f_act,
      fo_src, fo_dst, fo_k, fo_val,
      rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val) = res
@@ -514,7 +535,7 @@ def _strided_bwd(offsets, interpret, f_r, r_r, f_b, r_b, res, gy):
         # dX and dW both walk the reverse plan over the same gy table;
         # the fused kernel gathers it once (window_conv._bwd_strided_kernel).
         dx, dw = window_bwd_strided(
-            keys_out, gy, feats, rq, rs, w, r_act,
+            keys_out, gy, feats, rq, rs, w, r_act, dkeys=r_dk,
             interpret=interpret, window_r=r_r, q_bound=r_b,
         )
         dx = _apply_overflow_any(
@@ -527,8 +548,8 @@ def _strided_bwd(offsets, interpret, f_r, r_r, f_b, r_b, res, gy):
     # dX via the reverse plan: each input row reads its parent's dY through
     # its own offset column.
     dx = window_conv_apply(
-        keys_out, gy, rq, rs, w_t, r_act, interpret=interpret, window_r=r_r,
-        q_bound=r_b,
+        keys_out, gy, rq, rs, w_t, r_act, r_dk, interpret=interpret,
+        window_r=r_r, q_bound=r_b,
     )
     dx = _apply_overflow_any(
         dx, gy, w_t, ro_src, ro_dst, ro_k, ro_val, interpret
@@ -537,13 +558,13 @@ def _strided_bwd(offsets, interpret, f_r, r_r, f_b, r_b, res, gy):
     # offset column; dW[k] = sum_n x[n] (x) g1[n, k]. Compiled path: fused
     # kernel with (table=gy, cotangent=x) -> [K, CO, C], transposed.
     if interpret:
-        g1 = window_gather(keys_out, gy, rq, rs, r_act, interpret=interpret,
-                           window_r=r_r)
+        g1 = window_gather(keys_out, gy, rq, rs, r_act, r_dk,
+                           interpret=interpret, window_r=r_r)
         dw = jnp.einsum(
             "bnc,bnm->mc", feats.astype(jnp.float32), g1.astype(jnp.float32)
         ).reshape(k, co, c).transpose(0, 2, 1)
     else:
-        dw = window_dw(keys_out, gy, rq, rs, feats, r_act,
+        dw = window_dw(keys_out, gy, rq, rs, feats, r_act, r_dk,
                        window_r=r_r, q_bound=r_b).transpose(0, 2, 1)
     dw = dw + _overflow_dw_any(
         feats, gy, ro_dst, ro_src, ro_k, ro_val, k, interpret
@@ -568,13 +589,14 @@ _strided_window_conv.defvjp(_strided_fwd, _strided_bwd)
 # /root/reference/src/networks/sparse_building_blocks.py:202-229.
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3, 4, 5, 6, 7, 8, 9))
 def _deconv_window(offsets, x_coarse, w, interpret, f_r, r_r, f_b, r_b,
+                   f_dk, r_dk,
                    keys_fine, keys_coarse,
                    fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
                    rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val):
     out = window_conv_apply(
-        keys_coarse, x_coarse, rq, rs, w, r_act, interpret=interpret,
+        keys_coarse, x_coarse, rq, rs, w, r_act, r_dk, interpret=interpret,
         window_r=r_r, q_bound=r_b,
     )
     return _apply_overflow_any(
@@ -583,11 +605,12 @@ def _deconv_window(offsets, x_coarse, w, interpret, f_r, r_r, f_b, r_b,
 
 
 def _deconv_fwd(offsets, x_coarse, w, interpret, f_r, r_r, f_b, r_b,
+                f_dk, r_dk,
                 keys_fine, keys_coarse,
                 fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
                 rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val):
     out = _deconv_window(
-        offsets, x_coarse, w, interpret, f_r, r_r, f_b, r_b,
+        offsets, x_coarse, w, interpret, f_r, r_r, f_b, r_b, f_dk, r_dk,
         keys_fine, keys_coarse,
         fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
         rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val,
@@ -597,7 +620,8 @@ def _deconv_fwd(offsets, x_coarse, w, interpret, f_r, r_r, f_b, r_b,
                  rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val)
 
 
-def _deconv_bwd(offsets, interpret, f_r, r_r, f_b, r_b, res, gy):
+def _deconv_bwd(offsets, interpret, f_r, r_r, f_b, r_b, f_dk, r_dk,
+                res, gy):
     (x_coarse, w, keys_fine, keys_coarse,
      fq, fs, f_act, fo_src, fo_dst, fo_k, fo_val,
      rq, rs, r_act, ro_src, ro_dst, ro_k, ro_val) = res
@@ -606,7 +630,7 @@ def _deconv_bwd(offsets, interpret, f_r, r_r, f_b, r_b, res, gy):
     w_t = jnp.transpose(w, (0, 2, 1))
     # dX_coarse: the strided conv's forward walk over gy at the fine sites
     dxc = window_conv_apply(
-        keys_fine, gy, fq, fs, w_t, f_act, interpret=interpret,
+        keys_fine, gy, fq, fs, w_t, f_act, f_dk, interpret=interpret,
         window_r=f_r, q_bound=f_b,
     )
     dxc = _apply_overflow_any(
@@ -614,13 +638,13 @@ def _deconv_bwd(offsets, interpret, f_r, r_r, f_b, r_b, res, gy):
     )
     # dW[k] = sum over pairs x_coarse[parent] (x) gy[fine]
     if interpret:
-        g1 = window_gather(keys_coarse, x_coarse, rq, rs, r_act,
+        g1 = window_gather(keys_coarse, x_coarse, rq, rs, r_act, r_dk,
                            interpret=interpret, window_r=r_r)
         dw = jnp.einsum(
             "bno,bnm->mo", gy.astype(jnp.float32), g1.astype(jnp.float32)
         ).reshape(k, c, co)
     else:
-        dw = window_dw(keys_coarse, x_coarse, rq, rs, gy, r_act,
+        dw = window_dw(keys_coarse, x_coarse, rq, rs, gy, r_act, r_dk,
                        window_r=r_r, q_bound=r_b)
     dw = dw + _overflow_dw_any(
         x_coarse, gy, ro_src, ro_dst, ro_k, ro_val, k, interpret
@@ -648,10 +672,11 @@ def window_deconv(
         interpret,
         fwd_plan.window_r, rev_plan.window_r,
         fwd_plan.q_bound, rev_plan.q_bound,
+        fwd_plan.dkeys, rev_plan.dkeys,
         target.keys(), st_coarse.keys(),
-        fwd_plan.qkeys, fwd_plan.start, fwd_plan.q_active,
+        fwd_plan.qmeta, fwd_plan.start, fwd_plan.q_active,
         fwd_plan.ov_src, fwd_plan.ov_dst, fwd_plan.ov_k, fwd_plan.ov_valid,
-        rev_plan.qkeys, rev_plan.start, rev_plan.q_active,
+        rev_plan.qmeta, rev_plan.start, rev_plan.q_active,
         rev_plan.ov_src, rev_plan.ov_dst, rev_plan.ov_k, rev_plan.ov_valid,
     )
     out = jnp.where(target.row_mask()[..., None], out, 0)
@@ -671,10 +696,11 @@ def window_strided_conv(
         fwd_plan.offsets, st.feats, w.astype(st.feats.dtype), interpret,
         fwd_plan.window_r, rev_plan.window_r,
         fwd_plan.q_bound, rev_plan.q_bound,
+        fwd_plan.dkeys, rev_plan.dkeys,
         st.keys(), skeleton.keys(),
-        fwd_plan.qkeys, fwd_plan.start, fwd_plan.q_active,
+        fwd_plan.qmeta, fwd_plan.start, fwd_plan.q_active,
         fwd_plan.ov_src, fwd_plan.ov_dst, fwd_plan.ov_k, fwd_plan.ov_valid,
-        rev_plan.qkeys, rev_plan.start, rev_plan.q_active,
+        rev_plan.qmeta, rev_plan.start, rev_plan.q_active,
         rev_plan.ov_src, rev_plan.ov_dst, rev_plan.ov_k, rev_plan.ov_valid,
     )
     out = jnp.where(skeleton.row_mask()[..., None], out, 0)

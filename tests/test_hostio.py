@@ -249,3 +249,48 @@ def test_window_plans_pool_scales_across_events(monkeypatch):
     # 8 workers must overlap the 8 delays: >=3x wall-clock scaling even
     # with scheduler noise (ideal is ~8x; CI hosts are noisy)
     assert t_serial / t_pool >= 3.0, (t_serial, t_pool)
+
+
+def test_plan_pool_runs_real_builder_concurrently(monkeypatch):
+    """VERDICT r4 #6: drive the REAL per-event plan builder (no injected
+    delay) and assert the pool's concurrency watermark shows >1 worker
+    inside the builder body at once.  A lock (or GIL re-acquisition)
+    accidentally serializing the body pins the watermark at 1 — this test
+    fails then, even on a 1-core host (OS preemption interleaves GIL-free
+    threads mid-event when each event costs ~tens of ms)."""
+    import time
+
+    from sparseeventid_tpu.io import _hostio
+    from sparseeventid_tpu.io.hostio import build_window_plans
+
+    rng = np.random.default_rng(11)
+    grid, cap = (256, 256, 256), 8192
+    coords = np.full((8, cap, 3), -1, np.int32)
+    for b in range(8):
+        # heavy-ish events: ~6k voxels each so one event takes >> one
+        # scheduler quantum and preemption lands mid-builder
+        c = np.unique(rng.integers(0, 256, (8000, 3)).astype(np.int32), axis=0)
+        c = c[:6000]
+        coords[b, : len(c)] = c
+    kw = dict(
+        grid=grid, caps=[cap, cap // 2, cap // 4], initial_kernel=(5, 5, 5),
+        series_kernel=(3, 3, 3), stride=(2, 2, 2), window_r=176,
+        ov_caps=[1024] * 3, ov_cap_initial=2048,
+        ov_caps_down=[1024] * 2, window_r_down=320,
+    )
+    monkeypatch.setenv("SEID_PLAN_THREADS", "1")
+    _hostio.plan_pool_peak_concurrency()  # reset
+    build_window_plans(coords, **kw)
+    assert _hostio.plan_pool_peak_concurrency() == 1
+
+    monkeypatch.setenv("SEID_PLAN_THREADS", "8")
+    # OS scheduling is nondeterministic on a loaded 1-core host; retry a
+    # few builds — any one observing >=2 in-flight proves the pool body
+    # runs without a serializing lock
+    peak = 0
+    for _ in range(5):
+        build_window_plans(coords, **kw)
+        peak = max(peak, _hostio.plan_pool_peak_concurrency())
+        if peak >= 2:
+            break
+    assert peak >= 2, f"plan pool serialized: peak in-flight {peak}"
