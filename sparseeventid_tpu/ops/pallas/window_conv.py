@@ -695,6 +695,20 @@ def _k_col(kk: int, kmap) -> int:
     return kk if kmap is None else kmap[kk]
 
 
+def _rm_out() -> bool:
+    """Row-major in-kernel emit for the CT kernels: transpose the final
+    [CO, T] dot result in registers and store [T, CO] directly, instead of
+    storing CT and paying an XLA layout copy per conv (plus its launch
+    gap).  MEASURED IN-STEP round 5 and REJECTED as the default: bench
+    28.55 vs 29.19 ev/s — the in-kernel [CO,128]->[128,CO] transposes on
+    every live tile (fwd out, bwd dx, plus the row-major x reads in the
+    fused backward) cost more than the per-conv XLA copies + launch gaps
+    they replace, confirming the r3 store-probe pricing from the in-step
+    side.  Bit-exact either way (check_window_tpu 2026-08-21).
+    SEID_RM_OUT=1 re-enables for experiments."""
+    return _os.environ.get("SEID_RM_OUT", "0") == "1"
+
+
 def _conv_kernel(
     live_ref,  # SMEM i32[B, 1]
     keys_ref,  # [1, Npad, 1] VMEM (sublane-major)
@@ -714,6 +728,7 @@ def _conv_kernel(
     kmap: Tuple[int, ...] | None = None,
     ct: bool = False,
     wfuse: bool = False,
+    rm: bool = False,
 ):
     """P query tiles per step.
 
@@ -770,7 +785,7 @@ def _conv_kernel(
 
         @pl.when(tile >= live_ref[pl.program_id(0), 0])
         def _dead(pp=pp):
-            if ct:
+            if ct and not rm:
                 out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = jnp.zeros(
                     (out_ref.shape[1], TILE_T), out_ref.dtype
                 )
@@ -802,13 +817,15 @@ def _conv_kernel(
                         g_scratch[kk, :] = jnp.sum(
                             jnp.where(oh, xw[:, None], 0.0), axis=0
                         )
-                    out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = (
-                        jax.lax.dot_general(  # [CO, T]
-                            w_ref[:], g_scratch[:].astype(w_ref.dtype),
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ).astype(out_ref.dtype)
-                    )
+                    oc1 = jax.lax.dot_general(  # [CO, T]
+                        w_ref[:], g_scratch[:].astype(w_ref.dtype),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(out_ref.dtype)
+                    if rm:
+                        out_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :] = oc1.T
+                    else:
+                        out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = oc1
                     return
                 for kk in range(k):
                     start = pl.multiple_of(
@@ -832,14 +849,16 @@ def _conv_kernel(
                         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32,
                     ).astype(s_scratch.dtype)
-                    out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = (
-                        jax.lax.dot_general(  # [CO, T]
-                            ws.reshape(k * window_r, -1),
-                            oh_scratch[:].reshape(k * window_r, TILE_T),
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ).astype(out_ref.dtype)
-                    )
+                    owf = jax.lax.dot_general(  # [CO, T]
+                        ws.reshape(k * window_r, -1),
+                        oh_scratch[:].reshape(k * window_r, TILE_T),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(out_ref.dtype)
+                    if rm:
+                        out_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :] = owf.T
+                    else:
+                        out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = owf
                     return
                 if ct:
                     # Two-step CT (deep levels, C*CO too big for the
@@ -851,13 +870,15 @@ def _conv_kernel(
                         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32,
                     ).astype(s_scratch.dtype).reshape(k * c, TILE_T)
-                    out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = (
-                        jax.lax.dot_general(  # [CO, T]
-                            w_ref[:], gkt,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        ).astype(out_ref.dtype)
-                    )
+                    o2s = jax.lax.dot_general(  # [CO, T]
+                        w_ref[:], gkt,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).astype(out_ref.dtype)
+                    if rm:
+                        out_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :] = o2s.T
+                    else:
+                        out_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = o2s
                     return
                 if kc_pad > k * c:
                     g_scratch[:, k * c:] = jnp.zeros_like(
@@ -1024,10 +1045,11 @@ def window_conv_apply(
         w_spec = pl.BlockSpec((co, kc_pad) if ct else (kc_pad, co),
                               lambda bb, i: (0, 0), memory_space=pltpu.VMEM)
     live2 = _live_tiles(q_active, mb)[:, None]
+    rm = ct and _rm_out()
     kern = functools.partial(
         _conv_kernel, k=k, c=c, kc_pad=kc_pad, window_r=window_r, p=p,
         dkeys=tuple(dkeys), kmap=None if kmap is None else tuple(kmap),
-        ct=ct, wfuse=wfuse,
+        ct=ct, wfuse=wfuse, rm=rm,
     )
     if g_off == 1:
         if ct and c == 1:
@@ -1048,7 +1070,7 @@ def window_conv_apply(
             pltpu.VMEM((n_groups, g_off * window_r, TILE_T), feats.dtype),
             pltpu.VMEM((n_groups, g_off * window_r, glanes), feats.dtype),
         ]
-    if ct:
+    if ct and not rm:
         out_spec = pl.BlockSpec((1, co, TILE_T * p), lambda bb, i: (bb, 0, i),
                                 memory_space=pltpu.VMEM)
         out_sds = jax.ShapeDtypeStruct((b, co, n_tiles * TILE_T), feats.dtype)
@@ -1080,7 +1102,7 @@ def window_conv_apply(
         ),
         interpret=interpret,
     )(live2, pk[..., None], pt, qk_p, start, w2)
-    if ct:
+    if ct and not rm:
         out = out.transpose(0, 2, 1)
     out = out[:, :mb]
     if mb < m:
@@ -1390,8 +1412,8 @@ def _bwd_strided_kernel(
     qk_ref,  # [1, 1+nw, P*T] VMEM (reverse plan query meta per INPUT site)
     start_ref,  # [1, n_tiles, K] SMEM
     wdx_ref,  # [C, K*CO] VMEM
-    xct_ref,  # [1, C, P*T] VMEM (x tiles, lane-transposed)
-    dx_ref,  # [1, C, P*T] VMEM out
+    x_ref,  # rm: [1, P*T, C] x tiles (row-major); else [1, C, P*T] (CT)
+    dx_ref,  # rm: [1, P*T, C] VMEM out; else [1, C, P*T]
     dw_ref,  # [K*CO, C] f32 VMEM out (accumulated; [K, CO, C] order)
     oh_s,  # [K, R, T]
     sgy_s,  # [K, R, CO]
@@ -1403,6 +1425,7 @@ def _bwd_strided_kernel(
     p: int,
     dkeys: Tuple[int, ...],
     kmap: Tuple[int, ...] | None = None,
+    rm: bool = False,
 ):
     """Fused strided backward: dX AND dW from ONE gather of gy.
 
@@ -1429,9 +1452,14 @@ def _bwd_strided_kernel(
 
         @pl.when(tile >= live_ref[pl.program_id(0), 0])
         def _dead(pp=pp):
-            dx_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = jnp.zeros(
-                (dx_ref.shape[1], TILE_T), dx_ref.dtype
-            )
+            if rm:
+                dx_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :] = jnp.zeros(
+                    (TILE_T, dx_ref.shape[2]), dx_ref.dtype
+                )
+            else:
+                dx_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = jnp.zeros(
+                    (dx_ref.shape[1], TILE_T), dx_ref.dtype
+                )
 
         @pl.when(tile < live_ref[pl.program_id(0), 0])
         def _live(pp=pp, tile=tile):
@@ -1452,19 +1480,27 @@ def _bwd_strided_kernel(
                 dimension_numbers=(((1,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ).astype(sgy_s.dtype).reshape(k * co, TILE_T)
-            dx_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = (
-                jax.lax.dot_general(  # [C, T]
-                    wdx_ref[:], ggy,
+            dxv = jax.lax.dot_general(  # [C, T]
+                wdx_ref[:], ggy,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dx_ref.dtype)
+            if rm:
+                dx_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :] = dxv.T
+                x_t = x_ref[0, pp * TILE_T:(pp + 1) * TILE_T, :]  # [T, C]
+                dw_ref[...] += jax.lax.dot_general(  # [K*CO, C]
+                    ggy, x_t,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).astype(dx_ref.dtype)
-            )
-            x_ct = xct_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]
-            dw_ref[...] += jax.lax.dot_general(  # [K*CO, C]
-                ggy, x_ct,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+                )
+            else:
+                dx_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T] = dxv
+                x_ct = x_ref[0, :, pp * TILE_T:(pp + 1) * TILE_T]
+                dw_ref[...] += jax.lax.dot_general(  # [K*CO, C]
+                    ggy, x_ct,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
 
 def window_bwd_strided(
@@ -1495,7 +1531,10 @@ def window_bwd_strided(
     n_steps = _cdiv(mb, TILE_T * p)
     n_tiles = n_steps * p
     qk_p = _pad_lanes(rq_b, n_tiles * TILE_T, 0)
-    x_ct = _pad_rows(feats[:, :mb], n_tiles * TILE_T, 0).transpose(0, 2, 1)
+    rm = _rm_out()
+    x_in = _pad_rows(feats[:, :mb], n_tiles * TILE_T, 0)
+    if not rm:
+        x_in = x_in.transpose(0, 2, 1)
     if rs_b.shape[1] < n_tiles:
         rs_b = jnp.pad(rs_b, ((0, 0), (0, n_tiles - rs_b.shape[1]), (0, 0)))
     # K*CO stays unpadded: Mosaic pads dot contractions internally with
@@ -1507,7 +1546,20 @@ def window_bwd_strided(
     kern = functools.partial(
         _bwd_strided_kernel, k=k, c=c, co=co, window_r=window_r, p=p,
         dkeys=tuple(dkeys), kmap=None if kmap is None else tuple(kmap),
+        rm=rm,
     )
+    if rm:
+        x_spec = pl.BlockSpec((1, TILE_T * p, c), lambda bb, i: (bb, i, 0),
+                              memory_space=pltpu.VMEM)
+        dx_spec = pl.BlockSpec((1, TILE_T * p, c), lambda bb, i: (bb, i, 0),
+                               memory_space=pltpu.VMEM)
+        dx_sds = jax.ShapeDtypeStruct((b, n_tiles * TILE_T, c), feats.dtype)
+    else:
+        x_spec = pl.BlockSpec((1, c, TILE_T * p), lambda bb, i: (bb, 0, i),
+                              memory_space=pltpu.VMEM)
+        dx_spec = pl.BlockSpec((1, c, TILE_T * p), lambda bb, i: (bb, 0, i),
+                               memory_space=pltpu.VMEM)
+        dx_sds = jax.ShapeDtypeStruct((b, c, n_tiles * TILE_T), feats.dtype)
     dx, dw = pl.pallas_call(
         kern,
         grid=(b, n_steps),
@@ -1524,17 +1576,15 @@ def window_bwd_strided(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((c, kco), lambda bb, i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, TILE_T * p), lambda bb, i: (bb, 0, i),
-                         memory_space=pltpu.VMEM),
+            x_spec,
         ],
         out_specs=(
-            pl.BlockSpec((1, c, TILE_T * p), lambda bb, i: (bb, 0, i),
-                         memory_space=pltpu.VMEM),
+            dx_spec,
             pl.BlockSpec((kco, c), lambda bb, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, c, n_tiles * TILE_T), feats.dtype),
+            dx_sds,
             jax.ShapeDtypeStruct((kco, c), jnp.float32),
         ),
         scratch_shapes=[
@@ -1545,8 +1595,10 @@ def window_bwd_strided(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(live2, pk[..., None], pgy, qk_p, rs_b, wdx, x_ct)
-    dx = dx.transpose(0, 2, 1)[:, :mb]
+    )(live2, pk[..., None], pgy, qk_p, rs_b, wdx, x_in)
+    if not rm:
+        dx = dx.transpose(0, 2, 1)
+    dx = dx[:, :mb]
     if mb < m:
         dx = _pad_rows(dx, m, 0)
     dw = dw.reshape(k, co, c).transpose(0, 2, 1)
