@@ -257,13 +257,13 @@ def run_regime(active_voxels, n_tracks, overrides, qbound_frac,
     step = jax.jit(
         make_train_step(
             model, optimizer, LossBalanceScheme.focal, lr, plans_builder=pb
-        )
+        ),
+        donate_argnums=(0,),  # in-place state update (production path)
     )
     key = jax.random.PRNGKey(1)
 
     # NOTE: on the axon platform block_until_ready does not actually block;
     # force a device->host transfer to fence timing.
-    state0 = state
     try:
         for i in range(WARMUP):
             state, metrics = step(state, st, labels, host0, key)
@@ -271,11 +271,14 @@ def run_regime(active_voxels, n_tracks, overrides, qbound_frac,
     except Exception as e:  # pragma: no cover - hardware-dependent guard
         # Never let a kernel-path regression zero out the recorded bench:
         # fall back to the unfused backward kernels and recompile once.
+        # (state buffers may be donated/poisoned — rebuild from scratch)
         print(f"# fused-bwd path failed ({type(e).__name__}); "
               f"retrying with SEID_FUSED_BWD=0", file=sys.stderr)
         os.environ["SEID_FUSED_BWD"] = "0"
         jax.clear_caches()
-        state = state0
+        state = create_train_state(
+            model, optimizer, jax.random.PRNGKey(0), st, plans0
+        )
         for i in range(WARMUP):
             state, metrics = step(state, st, labels, host0, key)
         _ = float(metrics["loss/loss"])

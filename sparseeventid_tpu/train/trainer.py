@@ -507,7 +507,10 @@ class Trainer:
             train_step = make_dp_train_step(train_step, self.mesh, n_batch_args=3)
             eval_step = make_dp_eval_step(eval_step, self.mesh, n_batch_args=3)
         else:
-            train_step = jax.jit(train_step)
+            # donate the state: params/opt-state buffers update in place
+            # instead of allocating a second copy each step (~0.5 GB of
+            # allocator traffic at dune3d scale)
+            train_step = jax.jit(train_step, donate_argnums=(0,))
             eval_step = jax.jit(eval_step)
         return state, train_step, eval_step, n_steps, self._to_device
 
@@ -615,7 +618,10 @@ class Trainer:
             train_step = make_dp_train_step(train_step, self.mesh, n_batch_args=3)
             eval_step = make_dp_eval_step(eval_step, self.mesh, n_batch_args=3)
         else:
-            train_step = jax.jit(train_step)
+            # donate the state: params/opt-state buffers update in place
+            # instead of allocating a second copy each step (~0.5 GB of
+            # allocator traffic at dune3d scale)
+            train_step = jax.jit(train_step, donate_argnums=(0,))
             eval_step = jax.jit(eval_step)
         return state, train_step, eval_step, n_steps, prepare
 
@@ -688,7 +694,10 @@ class Trainer:
             train_step = make_dp_train_step(train_step, self.mesh, n_batch_args=4)
             eval_step = make_dp_eval_step(eval_step, self.mesh, n_batch_args=4)
         else:
-            train_step = jax.jit(train_step)
+            # donate the state: params/opt-state buffers update in place
+            # instead of allocating a second copy each step (~0.5 GB of
+            # allocator traffic at dune3d scale)
+            train_step = jax.jit(train_step, donate_argnums=(0,))
             eval_step = jax.jit(eval_step)
         return state, train_step, eval_step, n_steps, prepare
 
@@ -757,7 +766,10 @@ class Trainer:
             train_step = make_dp_train_step(train_step, self.mesh, n_batch_args=3)
             eval_step = make_dp_eval_step(eval_step, self.mesh, n_batch_args=3)
         else:
-            train_step = jax.jit(train_step)
+            # donate the state: params/opt-state buffers update in place
+            # instead of allocating a second copy each step (~0.5 GB of
+            # allocator traffic at dune3d scale)
+            train_step = jax.jit(train_step, donate_argnums=(0,))
             eval_step = jax.jit(eval_step)
         return state, train_step, eval_step, n_steps, prepare
 
