@@ -18,6 +18,12 @@ What each ablation isolates:
   skeleton        everything off: grid + block DMA + loop skeleton
 """
 
+# NOTE (round 5): this probe predates the qmeta refactor (commit a0799e0,
+# "qmeta query representation") and manipulates the old [B, K, M] qkeys
+# plan layout directly.  Its findings are recorded in PERF_NOTES.md and
+# final; to re-run it, check out the tree at a0799e0^ or rebuild inputs
+# via ops.pallas.window_conv.materialize_qkeys(plan.qmeta, plan.dkeys).
+
 import functools
 import os
 import sys

@@ -13,6 +13,12 @@ Uses host-built plans (fast).  Numerics of R<176 variants are wrong on
 purpose (starts computed for R=176) — timing only.
 """
 
+# NOTE (round 5): this probe predates the qmeta refactor (commit a0799e0,
+# "qmeta query representation") and manipulates the old [B, K, M] qkeys
+# plan layout directly.  Its findings are recorded in PERF_NOTES.md and
+# final; to re-run it, check out the tree at a0799e0^ or rebuild inputs
+# via ops.pallas.window_conv.materialize_qkeys(plan.qmeta, plan.dkeys).
+
 import functools
 import os
 import sys

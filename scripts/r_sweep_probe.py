@@ -10,6 +10,12 @@ Plans come from the native host builder at each candidate R.
 Usage: python scripts/r_sweep_probe.py [R ...]   (default 176 160 128)
 """
 
+# NOTE (round 5): this probe predates the qmeta refactor (commit a0799e0,
+# "qmeta query representation") and manipulates the old [B, K, M] qkeys
+# plan layout directly.  Its findings are recorded in PERF_NOTES.md and
+# final; to re-run it, check out the tree at a0799e0^ or rebuild inputs
+# via ops.pallas.window_conv.materialize_qkeys(plan.qmeta, plan.dkeys).
+
 import os
 import sys
 import time
