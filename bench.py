@@ -124,7 +124,13 @@ def useful_macs_per_train_step(coords_np, cfg):
 
 
 def make_batch(active_voxels, n_tracks, seed=0):
-    """Track-like synthetic events at the requested active-voxel count."""
+    """Track-like synthetic events at the requested active-voxel count.
+
+    n_tracks=None routes to the detector-physics generator
+    (io/synthetic.py) at the BENCH_e2e 36k topology — the hand-rolled
+    uniform-track generator at that occupancy produces denser/shorter
+    tracks whose window-escape rate overflows the sidecar caps (35k
+    dropped pairs measured), which the real topology does not."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -136,22 +142,44 @@ def make_batch(active_voxels, n_tracks, seed=0):
     coords = np.full((BATCH, MAX_VOXELS, 3), -1, np.int32)
     feats = np.zeros((BATCH, MAX_VOXELS, 1), np.float32)
     occ = []
-    for b in range(BATCH):
-        per = active_voxels // n_tracks
-        pts = []
-        for t in range(n_tracks):
-            start = r.uniform(0.2, 0.8, 3) * np.array(GRID)
-            d = r.normal(size=3)
-            d /= np.linalg.norm(d)
-            steps = np.arange(per)[:, None] * d[None, :] * 2.0
-            pts.append(start[None, :] + steps + r.normal(scale=0.6, size=(per, 3)))
-        pts = np.concatenate(pts)
-        np.clip(pts, 0, np.array(GRID) - 1, out=pts)
-        c = np.unique(pts.astype(np.int32), axis=0)
-        k = min(len(c), MAX_VOXELS)
-        coords[b, :k] = c[:k]
-        feats[b, :k, 0] = r.standard_normal(k)
-        occ.append(k)
+    if n_tracks is None:
+        from sparseeventid_tpu.io import (
+            SyntheticDataset,
+            SyntheticEventConfig,
+        )
+
+        ds = SyntheticDataset(
+            BATCH,
+            SyntheticEventConfig(
+                image_size=GRID, max_voxels=MAX_VOXELS, mean_tracks=75.0,
+                steps_per_track=900,
+            ),
+            seed=seed,
+        )
+        for b in range(BATCH):
+            c, vals, _labs, _aux = ds.event(b)
+            k = min(len(c), MAX_VOXELS)
+            coords[b, :k] = c[:k]
+            feats[b, :k, 0] = vals[:k]
+            occ.append(k)
+    else:
+        for b in range(BATCH):
+            per = active_voxels // n_tracks
+            pts = []
+            for t in range(n_tracks):
+                start = r.uniform(0.2, 0.8, 3) * np.array(GRID)
+                d = r.normal(size=3)
+                d /= np.linalg.norm(d)
+                steps = np.arange(per)[:, None] * d[None, :] * 2.0
+                pts.append(start[None, :] + steps
+                           + r.normal(scale=0.6, size=(per, 3)))
+            pts = np.concatenate(pts)
+            np.clip(pts, 0, np.array(GRID) - 1, out=pts)
+            c = np.unique(pts.astype(np.int32), axis=0)
+            k = min(len(c), MAX_VOXELS)
+            coords[b, :k] = c[:k]
+            feats[b, :k, 0] = r.standard_normal(k)
+            occ.append(k)
     st = ops.build_sparse_tensor(
         jnp.asarray(coords), jnp.asarray(feats), GRID,
         capacity=_round_up(MAX_VOXELS, GRID_QUANTUM),
@@ -339,7 +367,7 @@ def main():
     r36 = None
     if os.environ.get("BENCH_SKIP_36K", "0") != "1":
         r36 = run_regime(
-            ACTIVE_VOXELS_FULL, 75, [], qbound_frac=1.0, qbound_growth=1.6,
+            ACTIVE_VOXELS_FULL, None, [], qbound_frac=1.0, qbound_growth=1.6,
         )
 
     # Useful-MAC MFU: structural-nonzero MACs only (pairs x Cin x Cout,

@@ -304,3 +304,60 @@ def test_upsample_block_window_backend_matches_xla():
         np.asarray(outs["xla"].feats),
         rtol=1e-4, atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("ksz", [(3, 3, 3), (5, 5, 5), (1, 3, 3)])
+def test_query_meta_matches_materialized_qkeys(ksz):
+    """The packed qmeta (base key + validity bitmask words) must expand to
+    exactly the qkeys array the kernels used to read from HBM — including
+    boundary-invalid queries, dead rows, and word-boundary bits (5^3 has
+    125 offsets spanning 4 words with bit 31 used in words 0-2)."""
+    from sparseeventid_tpu.ops.pallas.window_conv import (
+        compute_query_keys,
+        compute_query_meta,
+        compute_reverse_query_meta,
+        compute_strided_query_meta,
+        compute_strided_query_keys,
+        key_deltas,
+        materialize_qkeys,
+        INVALID_QUERY,
+    )
+    from sparseeventid_tpu.ops.rulebook import kernel_offsets
+
+    st = make_st(seed=3, grid=(8, 8, 8), n=128, density=0.3)
+    offs = kernel_offsets(ksz, centered=True)
+    ref = np.asarray(compute_query_keys(st, offs))  # [B, M, K]
+    got = np.asarray(
+        materialize_qkeys(
+            compute_query_meta(st, offs), key_deltas(st.grid_shape, offs)
+        )
+    )  # [B, K, M]
+    np.testing.assert_array_equal(got, ref.transpose(0, 2, 1))
+
+    # strided forward meta vs the materialized strided qkeys
+    from sparseeventid_tpu.ops.rulebook import downsample_sites
+
+    skel, _ = downsample_sites(st, (2, 2, 2), st.capacity, with_dropped=True)
+    d_offs = kernel_offsets((2, 2, 2), centered=False)
+    ref_f = np.asarray(
+        compute_strided_query_keys(skel, st.grid_shape, (2, 2, 2), d_offs)
+    )
+    got_f = np.asarray(
+        materialize_qkeys(
+            compute_strided_query_meta(skel, st.grid_shape, (2, 2, 2), d_offs),
+            key_deltas(st.grid_shape, d_offs),
+        )
+    )
+    np.testing.assert_array_equal(got_f, ref_f.transpose(0, 2, 1))
+
+    # reverse meta: exactly one live column per live input row, at the
+    # parent key
+    rq = np.asarray(
+        materialize_qkeys(
+            compute_reverse_query_meta(st, skel, (2, 2, 2), 8), (0,) * 8
+        )
+    )  # [B, 8, M]
+    live = rq != INVALID_QUERY
+    rm = np.asarray(st.row_mask())
+    assert np.array_equal(live.sum(axis=1) > 0, rm)
+    assert np.all(live.sum(axis=1) <= 1)
