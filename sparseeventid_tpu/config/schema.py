@@ -136,6 +136,15 @@ class OptimizerConfig:
     name: OptimizerKind = OptimizerKind.adam
     gradient_accumulation: int = 1
     weight_decay: float = 1e-6
+    # optax.flatten the update: one big moment/update vector instead of
+    # ~166 per-tensor chains.  MEASURED on TPU and rejected as default
+    # (PERF_NOTES r5): bench 27.2 vs 29.3 ev/s — the ravel/concat/split
+    # of ~20M params costs more HBM traffic than the per-tensor dispatch
+    # overhead it saves.  Applied only to ELEMENTWISE optimizers
+    # (lars/lamb/novograd use per-layer norms that flattening would
+    # change); the opt_state pytree shape changes under this flag
+    # (checkpoints are not portable across it).
+    flatten_update: bool = False
 
 
 @dataclass

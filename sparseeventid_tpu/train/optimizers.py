@@ -45,6 +45,17 @@ def build_optimizer(
     else:
         raise ValueError(f"unsupported optimizer {kind}")
 
+    # flatten elementwise updates into one vector: collapses the ~166
+    # per-tensor update chains (one XLA fusion + dispatch each) into a few
+    # big ops.  Per-layer-norm optimizers (lars/lamb/novograd) are
+    # excluded — flattening would replace their per-tensor trust ratios
+    # with one global ratio (different math).
+    elementwise = kind in (
+        OptimizerKind.adam, OptimizerKind.rmsprop, OptimizerKind.sgd,
+        OptimizerKind.adagrad, OptimizerKind.adadelta,
+    )
+    if getattr(cfg, "flatten_update", False) and elementwise:
+        opt = optax.flatten(opt)
     if cfg.gradient_accumulation > 1:
         opt = optax.MultiSteps(opt, every_k_schedule=cfg.gradient_accumulation)
     return opt
