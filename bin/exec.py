@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """CLI entry point — parity with /root/reference/bin/exec.py (hydra app with
-train / iotest / inference modes, output dir output/<detector>/<run.id>,
+train / iotest / inference / visualize modes, output dir output/<detector>/<run.id>,
 rank-0 logging, full config dump at startup), without the hydra dependency.
 
 Usage:

@@ -53,6 +53,7 @@ class ModeKind(Enum):
     train = 0
     iotest = 1
     inference = 2
+    visualize = 3
 
 
 class LabelType(Enum):
@@ -193,6 +194,19 @@ class IOTest(Mode):
     name: ModeKind = ModeKind.iotest
     start_index: int = 0
     iterations: int = 25  # reference iotest times 25 minibatches (exec.py:243)
+
+
+@dataclass
+class Visualize(Mode):
+    """Event-display rendering.  The reference CLI advertises this mode but
+    dispatches to a method that does not exist
+    (/root/reference/bin/exec.py:79-80 -> self.visualize, absent from the
+    class) — here it renders per-event projection images with truth labels
+    to output_dir/<detector>/<run.id>/visualize/."""
+
+    name: ModeKind = ModeKind.visualize
+    start_index: int = 0
+    events: int = 8  # how many events to render
 
 
 @dataclass
@@ -339,7 +353,8 @@ class SparseEventIDConfig:
 
 # ---- group registries (the ConfigStore equivalent) ---------------------------
 
-MODE_GROUP = {"train": Train, "inference": Inference, "iotest": IOTest}
+MODE_GROUP = {"train": Train, "inference": Inference, "iotest": IOTest,
+              "visualize": Visualize}
 
 ENCODER_GROUP = {
     "convnet": ConvRepresentation,

@@ -972,6 +972,87 @@ class Trainer:
         self._shutdown()
         return results
 
+    def visualize(self):
+        """Event-display rendering to output_dir/visualize/.
+
+        The reference CLI advertises this mode but dispatches to a method
+        that does not exist (/root/reference/bin/exec.py:79-80 ->
+        self.visualize, absent) — implemented here: per-event projection
+        scatter plots (x-y / x-z / y-z for 3D; per-plane for 2D
+        multiplane), charge-colored, annotated with the truth labels."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..config.schema import OUTPUT_SHAPE
+
+        out = self.output_dir / "visualize"
+        out.mkdir(parents=True, exist_ok=True)
+        n_events = int(getattr(self.cfg.mode, "events", 8))
+        split = "val" if "val" in self.datasets else next(iter(self.datasets))
+        loader = self._loader(split)
+        written = []
+        done = 0
+        while done < n_events:
+            batch = next(loader)
+            img = np.asarray(batch["image"])
+            bsz = img.shape[0]
+            for b in range(bsz):
+                if done >= n_events:
+                    break
+                labels = ", ".join(
+                    f"{k.removeprefix('label')}={int(batch[k][b])}"
+                    for k in sorted(OUTPUT_SHAPE)
+                    if k in batch
+                )
+                if img.ndim == 4:  # 2D multiplane [B, P, MaxVoxels, 3]
+                    planes = img[b]
+                    fig, axes = plt.subplots(
+                        1, len(planes), figsize=(5 * len(planes), 5)
+                    )
+                    axes = np.atleast_1d(axes)
+                    for p, ax in enumerate(axes):
+                        pv = planes[p]
+                        live = pv[:, -1] != -999.0
+                        sc = ax.scatter(
+                            pv[live, 0], pv[live, 1], c=pv[live, 2],
+                            s=1.5, cmap="viridis",
+                        )
+                        ax.set_title(f"plane {p}")
+                        ax.set_aspect("equal")
+                    fig.colorbar(sc, ax=axes[-1], label="charge")
+                else:  # 3D [B, MaxVoxels, 4]
+                    ev = img[b]
+                    live = ev[:, 3] != -999.0
+                    c, v = ev[live, :3], ev[live, 3]
+                    fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+                    for ax, (i, j, nm) in zip(
+                        axes, [(0, 1, "x-y"), (0, 2, "x-z"), (1, 2, "y-z")]
+                    ):
+                        sc = ax.scatter(
+                            c[:, i], c[:, j], c=v, s=1.5, cmap="viridis"
+                        )
+                        ax.set_title(nm)
+                        ax.set_aspect("equal")
+                    fig.colorbar(sc, ax=axes[-1], label="charge")
+                fig.suptitle(
+                    f"{split} event {done}: {labels}"
+                    + (
+                        f"  energy={float(batch['energy'][b]):.0f}"
+                        if "energy" in batch
+                        else ""
+                    )
+                )
+                path = out / f"{split}_event_{done:03d}.png"
+                fig.savefig(path, dpi=110, bbox_inches="tight")
+                plt.close(fig)
+                written.append(path)
+                logger.info(f"wrote {path}")
+                done += 1
+        self._shutdown()
+        return written
+
     def _shutdown(self):
         for loader in self.loaders.values():
             loader.stop()
@@ -986,4 +1067,6 @@ def run_mode(cfg: SparseEventIDConfig):
         return trainer.validate()
     if cfg.mode.name == ModeKind.iotest:
         return trainer.iotest()
+    if cfg.mode.name == ModeKind.visualize:
+        return trainer.visualize()
     raise ValueError(f"unknown mode {cfg.mode.name}")

@@ -101,3 +101,21 @@ def test_vertex_targets_present_in_datasets(tmp_path):
     assert lb["vertex"].shape == (2, 3)
     assert np.isfinite(lb["vertex"]).all()
     assert lb["energy"].shape == (2,)
+
+
+def test_visualize_mode_writes_event_displays(tmp_path):
+    """mode=visualize renders per-event projection PNGs (the reference CLI
+    advertises this mode but dispatches to a nonexistent method —
+    /root/reference/bin/exec.py:79-80; here it works)."""
+    cfg = load_config(
+        "synthetic",
+        [
+            "mode=visualize", "mode.events=2", "run.minibatch_size=2",
+            "data.max_voxels=256", "data.synthetic_events=8",
+            f"output_dir={tmp_path}",
+        ],
+    )
+    written = run_mode(cfg)
+    assert len(written) == 2
+    for p in written:
+        assert p.exists() and p.stat().st_size > 1000
