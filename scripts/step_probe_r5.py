@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sparseeventid_tpu.config import load_config
-from sparseeventid_tpu.config.schema import LossBalanceScheme, OUTPUT_SHAPE
+from sparseeventid_tpu.config.schema import LossBalanceScheme
 from sparseeventid_tpu.io.hostio import build_window_plans
 from sparseeventid_tpu.models import build_sparse_classifier
 from sparseeventid_tpu.models.encoder import capacity_schedule
@@ -41,7 +41,7 @@ from sparseeventid_tpu.train import (
 )
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
-from step_split import GRID, MAX_VOXELS, BATCH, make_batch, timeit  # noqa
+from step_split import GRID, MAX_VOXELS, make_batch, timeit  # noqa
 
 
 def build(norm: str):

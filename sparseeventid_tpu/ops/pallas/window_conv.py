@@ -961,7 +961,7 @@ def _gather_kernel(
             g_ref[0, :, kk * c: (kk + 1) * c] = gkt[kk]
 
 
-def _bounded_queries(qkeys, start, q_bound, p):
+def _bounded_queries(qmeta, start, q_bound, p):
     """Slice the query side to a static row bound (a multiple of P*T tiles).
 
     The static capacity is a budget, not the workload: with detector
@@ -970,16 +970,16 @@ def _bounded_queries(qkeys, start, q_bound, p):
     the grid; rows past it are implicitly zero (the engine pads the output
     back and surfaces ``max(n_active - q_bound, 0)`` as a metric).
 
-    ``qkeys`` arrives LANE-TRANSPOSED as [B, K, M] (queries in lanes) so the
-    kernels read [K, T] tiles directly instead of paying a [T, K] -> [K, T]
-    lane<->sublane transpose per tile (~0.26 ms/conv at L0 shapes)."""
-    m = qkeys.shape[2]
+    ``qmeta`` is the packed [B, 1+nw, M] base-key + validity-mask array
+    with queries in LANES, so the kernels read [T]-lane rows directly
+    (no per-tile lane<->sublane transpose)."""
+    m = qmeta.shape[2]
     if q_bound is None or q_bound >= m:
-        return qkeys, start, m
+        return qmeta, start, m
     qb = _round_up(q_bound, TILE_T * p)
     if qb >= m:
-        return qkeys, start, m
-    return qkeys[:, :, :qb], start[:, : qb // TILE_T], qb
+        return qmeta, start, m
+    return qmeta[:, :, :qb], start[:, : qb // TILE_T], qb
 
 
 def _pad_lanes(x: jax.Array, n_to: int, fill) -> jax.Array:

@@ -30,7 +30,6 @@ from ..rulebook import _lookup, kernel_offsets
 from ..sparse_tensor import INVALID_KEY, SparseTensor, linearize
 from .window_conv import (
     INVALID_QUERY,
-    WINDOW_R,
     _padded_table,
     window_r_default,
     window_r_strided,
