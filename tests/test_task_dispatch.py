@@ -119,3 +119,16 @@ def test_visualize_mode_writes_event_displays(tmp_path):
     assert len(written) == 2
     for p in written:
         assert p.exists() and p.stat().st_size > 1000
+
+
+def test_visualize_mode_2d_multiplane(tmp_path):
+    cfg = load_config(
+        "synthetic",
+        [
+            "mode=visualize", "mode.events=1", "run.minibatch_size=1",
+            "data.dimension=2", "data.max_voxels=256",
+            "data.synthetic_events=4", f"output_dir={tmp_path}",
+        ],
+    )
+    written = run_mode(cfg)
+    assert len(written) == 1 and written[0].exists()
